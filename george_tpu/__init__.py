@@ -1,0 +1,28 @@
+# -*- coding: utf-8 -*-
+"""george_tpu — fast and flexible Gaussian Process regression, TPU-native.
+
+A from-scratch JAX/XLA/Pallas re-design of the george GP framework
+(https://github.com/dfm/george): the YAML kernel DSL compiles to jitted
+matrix-level covariance and gradient programs, the dense solver path runs
+fused on the MXU, the HODLR hierarchical solver is re-derived as
+level-batched low-rank factorizations, and a first-class sampler layer
+(HMC / NUTS / ADVI / SMC) runs thousands of chains per chip with
+multi-host sharding over a ``jax.sharding.Mesh``.
+"""
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "__version__",
+    "kernels",
+    "GP",
+    "Metric",
+    "TrivialSolver",
+    "BasicSolver",
+    "HODLRSolver",
+]
+
+from . import kernels
+from .gp import GP
+from .metrics import Metric
+from .solvers import TrivialSolver, BasicSolver, HODLRSolver

@@ -1,0 +1,421 @@
+# -*- coding: utf-8 -*-
+"""Compile kernel DSL specs + kernel expression trees into JAX functions.
+
+This module replaces three native layers of the reference implementation at
+once, in the TPU-idiomatic way:
+
+  * the generated per-pair C++ kernel classes
+    (/root/reference/src/george/include/george/kernels.h) become scalar JAX
+    expressions compiled from the YAML DSL;
+  * the O(N^2) pybind11 matrix-building loops
+    (/root/reference/src/george/kernel_interface.cpp:47-157) become
+    *matrix-level* evaluators: stationary kernels compute the full pairwise
+    ``r2`` matrix with one MXU matmul (the |a|^2 + |b|^2 - 2ab trick) followed
+    by a fused elementwise radial function, and non-stationary kernels
+    broadcast per-axis scalar functions over the (N1, N2) grid;
+  * the C++ kernel-spec parser (include/george/parser.h) becomes a static,
+    hashable expression-tree (:class:`Leaf` / :class:`Op`) that keys a cache
+    of compiled + jitted evaluators.
+
+Gradient policy: hyperparameter and input gradients come from JAX autodiff.
+The only hand-fed derivatives are the radial derivatives dk/d(r2) of
+stationary kernels (taken from the DSL ``grad: r2`` entries and installed
+via ``jax.custom_jvp``) because naive autodiff through ``sqrt(r2)`` is NaN at
+r2 = 0 for the Matern and Exp families.  The DSL's other ``grad`` entries are
+used as golden cross-checks in the test suite.
+"""
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from .specs import available_kernels
+
+__all__ = [
+    "Leaf", "Op", "node_size", "kernel_value_fn", "kernel_diag_fn",
+    "kernel_gradient_fn", "kernel_x1_gradient_fn", "kernel_x2_gradient_fn",
+    "pairwise_squared_distance", "pairwise_squared_distance_mxu",
+    "metric_r2_matrix",
+]
+
+
+def _smart_pow(x, p):
+    """``pow`` that uses integer exponentiation for static integral powers.
+
+    C's ``pow(-2.0, 2.0)`` is 4.0 but ``jnp.power`` of a negative base with a
+    float exponent is NaN; kernel constants like the polynomial ``order`` are
+    static Python floats, so we can lower them to ``lax.integer_pow``.
+    """
+    if isinstance(p, (int, float)) and not isinstance(p, bool) \
+            and float(p) == int(p):
+        return jax.lax.integer_pow(x, int(p))
+    return jnp.power(x, p)
+
+
+# Names available to DSL expression bodies.
+_NAMESPACE = {
+    "exp": jnp.exp,
+    "log": jnp.log,
+    "sqrt": jnp.sqrt,
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "tan": jnp.tan,
+    "sinh": jnp.sinh,
+    "cosh": jnp.cosh,
+    "tanh": jnp.tanh,
+    "abs": jnp.abs,
+    "fabs": jnp.abs,
+    "pow": _smart_pow,
+    "where": jnp.where,
+    "maximum": jnp.maximum,
+    "minimum": jnp.minimum,
+    "erf": jax.scipy.special.erf,
+    "erfc": jax.scipy.special.erfc,
+    "M_PI": 3.141592653589793238462643383279502884,
+    "DBL_EPSILON": 2.220446049250313e-16,
+    "jnp": jnp,
+}
+
+
+def _compile_scalar_fn(spec, constants, xargs, body):
+    """Compile one DSL expression into ``f(param_vector, *xargs)``.
+
+    ``param_vector`` is a 1-D array holding the spec's trainable parameters in
+    declaration order; reparams are evaluated inline so XLA hoists them out of
+    any surrounding vmap/broadcast.
+    """
+    lines = ["def _kernel_fn(__params, {0}):".format(", ".join(xargs))]
+    for i, name in enumerate(spec.params):
+        lines.append("    {0} = __params[{1}]".format(name, i))
+    for name, expr in spec.reparams:
+        lines.append("    {0} = ({1})".format(name, expr))
+    lines.append("    return ({0})".format(body))
+    namespace = dict(_NAMESPACE)
+    namespace.update(constants)
+    exec("\n".join(lines), namespace)
+    return namespace["_kernel_fn"]
+
+
+@lru_cache(maxsize=None)
+def _radial_fn(name, constants):
+    """Radial function k(params, r2) with a DSL-supplied d/d(r2) JVP."""
+    spec = available_kernels()[name]
+    consts = dict(constants)
+    value = _compile_scalar_fn(spec, consts, ("r2",), spec.value)
+    grad_r2 = _compile_scalar_fn(spec, consts, ("r2",), spec.grad_dict["r2"])
+
+    @jax.custom_jvp
+    def radial(p, r2):
+        return value(p, r2)
+
+    @radial.defjvp
+    def radial_jvp(primals, tangents):
+        p, r2 = primals
+        dp, dr2 = tangents
+        # Parameter tangent by autodiff at fixed r2 (smooth everywhere);
+        # radial tangent from the DSL's closed form (safe at r2 = 0).
+        if p.shape[0]:
+            out, t_p = jax.jvp(lambda q: value(q, r2), (p,), (dp,))
+        else:
+            out = value(p, r2)
+            t_p = jnp.zeros_like(out)
+        return out, t_p + grad_r2(p, r2) * dr2
+
+    return radial
+
+
+@lru_cache(maxsize=None)
+def _pair_fn(name, constants):
+    """Per-axis scalar function k(params, a, b) for non-stationary kernels."""
+    spec = available_kernels()[name]
+    return _compile_scalar_fn(spec, dict(constants), ("x1", "x2"), spec.value)
+
+
+@lru_cache(maxsize=None)
+def _pair_grad_fn(name, constants, wrt):
+    """DSL-declared gradient of a non-stationary kernel (for cross-checks)."""
+    spec = available_kernels()[name]
+    return _compile_scalar_fn(
+        spec, dict(constants), ("x1", "x2"), spec.grad_dict[wrt]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Static expression-tree nodes (hashable cache keys).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Leaf:
+    """Static description of one concrete kernel instance."""
+
+    name: str
+    constants: Tuple[Tuple[str, float], ...]
+    ndim: int
+    axes: Tuple[int, ...]
+    stationary: bool
+    nparams: int
+    metric_type: int = -1
+    nmetric: int = 0
+    blocked: bool = False
+    min_block: Tuple[float, ...] = ()
+    max_block: Tuple[float, ...] = ()
+
+
+@dataclass(frozen=True)
+class Op:
+    """A Sum or Product of two kernel subtrees."""
+
+    op: str  # "sum" | "product"
+    k1: Union["Op", Leaf]
+    k2: Union["Op", Leaf]
+
+
+Node = Union[Op, Leaf]
+
+
+def node_size(node: Node) -> int:
+    """Length of the (full) parameter vector a node consumes."""
+    if isinstance(node, Op):
+        return node_size(node.k1) + node_size(node.k2)
+    return node.nparams + node.nmetric
+
+
+# ---------------------------------------------------------------------------
+# Metric r2 computation (matrix level, MXU-friendly).
+# ---------------------------------------------------------------------------
+
+def pairwise_squared_distance(A, B):
+    """All-pairs squared Euclidean distance, computed from exact differences.
+
+    ``r2[i, j] = sum_k (a_ik - b_jk)^2``.  XLA fuses the (N1, N2, d)
+    difference into the reduction, so only the (N1, N2) result materializes.
+    The subtraction-first form is exact at coincident points; the matmul
+    identity ``|a|^2 + |b|^2 - 2ab`` (see
+    :func:`pairwise_squared_distance_mxu`) loses ~eps * |x|^2 absolute
+    accuracy, which matters for nearly-coincident points under kernels with
+    unbounded radial derivatives (Exp / Matern at r -> 0).
+    """
+    d = A[:, None, :] - B[None, :, :]
+    return jnp.sum(d * d, axis=-1)
+
+
+def pairwise_squared_distance_mxu(A, B):
+    """All-pairs squared distance via one MXU matmul (performance path).
+
+    ``r2 = |a|^2 + |b|^2 - 2 a.b`` — the cross term is a single matmul on
+    the systolic array, replacing the reference's per-pair scalar loops
+    (kernel_interface.cpp:62-77).  Used by the large-N covariance builders
+    where absolute accuracy of ~eps * |x|^2 is acceptable.  Clamped at zero
+    against rounding.
+    """
+    q1 = jnp.sum(A * A, axis=1)
+    q2 = jnp.sum(B * B, axis=1)
+    cross = A @ B.T
+    return jnp.maximum(q1[:, None] + q2[None, :] - 2.0 * cross, 0.0)
+
+
+def _unpack_cholesky(mparams, n):
+    """Packed row-major lower-triangle params -> dense L (log-diagonal)."""
+    L = jnp.zeros((n, n), dtype=mparams.dtype)
+    idx = jnp.tril_indices(n)
+    L = L.at[idx].set(mparams)
+    d = jnp.diag_indices(n)
+    return L.at[d].set(jnp.exp(L[d]))
+
+
+def metric_r2_matrix(metric_type, naxes, mparams, A1, A2):
+    """Pairwise ``r2`` under a metric, on pre-gathered axis columns.
+
+    Semantics match include/george/metrics.h: isotropic (76-85), axis-aligned
+    (108-117), general via Cholesky solve (190-204).
+    """
+    if metric_type == 0:
+        return pairwise_squared_distance(A1, A2) * jnp.exp(-mparams[0])
+    if metric_type == 1:
+        scale = jnp.exp(-0.5 * mparams)
+        return pairwise_squared_distance(A1 * scale, A2 * scale)
+    if metric_type == 2:
+        L = _unpack_cholesky(mparams, naxes)
+        B1 = solve_triangular(L, A1.T, lower=True).T
+        B2 = solve_triangular(L, A2.T, lower=True).T
+        return pairwise_squared_distance(B1, B2)
+    raise ValueError("unknown metric_type {0}".format(metric_type))
+
+
+def metric_r2_rows(metric_type, naxes, mparams, A1, A2):
+    """Row-wise ``r2`` between aligned points (the "diagonal" evaluation)."""
+    d = A1 - A2
+    if metric_type == 0:
+        return jnp.sum(d * d, axis=1) * jnp.exp(-mparams[0])
+    if metric_type == 1:
+        return jnp.sum(d * d * jnp.exp(-mparams), axis=1)
+    if metric_type == 2:
+        L = _unpack_cholesky(mparams, naxes)
+        y = solve_triangular(L, d.T, lower=True)
+        return jnp.sum(y * y, axis=0)
+    raise ValueError("unknown metric_type {0}".format(metric_type))
+
+
+# ---------------------------------------------------------------------------
+# Matrix-level evaluators.
+# ---------------------------------------------------------------------------
+
+def _gather_axes(X, axes):
+    return X[:, list(axes)]
+
+
+def _block_mask(X, axes, min_block, max_block):
+    """Points inside the per-axis block window (templates/kernels.py:296-315)."""
+    mask = jnp.ones(X.shape[0], dtype=bool)
+    for axis, lo, hi in zip(axes, min_block, max_block):
+        col = X[:, axis]
+        mask = mask & (col >= lo) & (col <= hi)
+    return mask
+
+
+@lru_cache(maxsize=None)
+def _value_builder(node: Node):
+    """Build ``f(theta, X1, X2) -> (N1, N2)`` for a kernel tree."""
+    if isinstance(node, Op):
+        f1 = _value_builder(node.k1)
+        f2 = _value_builder(node.k2)
+        n1 = node_size(node.k1)
+        if node.op == "sum":
+            return lambda th, X1, X2: f1(th[:n1], X1, X2) + f2(th[n1:], X1, X2)
+        return lambda th, X1, X2: f1(th[:n1], X1, X2) * f2(th[n1:], X1, X2)
+
+    spec = available_kernels()[node.name]
+    axes = node.axes
+
+    if node.stationary:
+        radial = _radial_fn(node.name, node.constants)
+
+        def value(theta, X1, X2):
+            p, mp = theta[:node.nparams], theta[node.nparams:]
+            r2 = metric_r2_matrix(
+                node.metric_type, len(axes), mp,
+                _gather_axes(X1, axes), _gather_axes(X2, axes),
+            )
+            K = radial(p, r2)
+            if node.blocked:
+                m1 = _block_mask(X1, axes, node.min_block, node.max_block)
+                m2 = _block_mask(X2, axes, node.min_block, node.max_block)
+                K = jnp.where(m1[:, None] & m2[None, :], K, 0.0)
+            return K
+
+        return value
+
+    pair = _pair_fn(node.name, node.constants)
+
+    def value(theta, X1, X2):
+        total = 0.0
+        for j in axes:
+            total = total + pair(theta, X1[:, j][:, None], X2[:, j][None, :])
+        return jnp.broadcast_to(total, (X1.shape[0], X2.shape[0]))
+
+    return value
+
+
+@lru_cache(maxsize=None)
+def _diag_builder(node: Node):
+    """Build ``f(theta, X1, X2) -> (N,)`` evaluating k(x1_i, x2_i) row-wise."""
+    if isinstance(node, Op):
+        f1 = _diag_builder(node.k1)
+        f2 = _diag_builder(node.k2)
+        n1 = node_size(node.k1)
+        if node.op == "sum":
+            return lambda th, X1, X2: (
+                f1(th[:n1], X1, X2) + f2(th[n1:], X1, X2)
+            )
+        return lambda th, X1, X2: f1(th[:n1], X1, X2) * f2(th[n1:], X1, X2)
+
+    axes = node.axes
+    if node.stationary:
+        radial = _radial_fn(node.name, node.constants)
+
+        def diag(theta, X1, X2):
+            p = theta[:node.nparams]
+            r2 = metric_r2_rows(
+                node.metric_type, len(axes), theta[node.nparams:],
+                _gather_axes(X1, axes), _gather_axes(X2, axes),
+            )
+            out = radial(p, r2)
+            if node.blocked:
+                m1 = _block_mask(X1, axes, node.min_block, node.max_block)
+                m2 = _block_mask(X2, axes, node.min_block, node.max_block)
+                out = jnp.where(m1 & m2, out, 0.0)
+            return out
+
+        return diag
+
+    pair = _pair_fn(node.name, node.constants)
+
+    def diag(theta, X1, X2):
+        total = 0.0
+        for j in axes:
+            total = total + pair(theta, X1[:, j], X2[:, j])
+        return jnp.broadcast_to(total, (X1.shape[0],))
+
+    return diag
+
+
+# ---------------------------------------------------------------------------
+# Public (jitted) entry points, cached per tree.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def kernel_value_fn(node: Node):
+    """Jitted ``K(theta, X1, X2)`` covariance builder."""
+    return jax.jit(_value_builder(node))
+
+
+@lru_cache(maxsize=None)
+def kernel_diag_fn(node: Node):
+    """Jitted row-wise ``k(x1_i, x2_i)`` evaluator (``value_diagonal``)."""
+    return jax.jit(_diag_builder(node))
+
+
+@lru_cache(maxsize=None)
+def kernel_gradient_fn(node: Node):
+    """Jitted hyperparameter gradient tensor ``(N1, N2, full_size)``.
+
+    Forward-mode over the (small) parameter vector — the analog of the
+    reference's gradient_symmetric / gradient_general
+    (kernel_interface.cpp:92-125) without per-pair virtual dispatch.
+    """
+    value = _value_builder(node)
+    return jax.jit(jax.jacfwd(value, argnums=0))
+
+
+@lru_cache(maxsize=None)
+def kernel_x1_gradient_fn(node: Node):
+    """Jitted ``d k(x1_i, x2_j) / d x1_i`` with shape (N1, N2, ndim)."""
+    value = _value_builder(node)
+
+    def x1_grad(theta, X1, X2):
+        def one_row(x1):
+            return jax.jacfwd(
+                lambda x: value(theta, x[None, :], X2)[0]
+            )(x1)
+        return jax.vmap(one_row)(X1)
+
+    return jax.jit(x1_grad)
+
+
+@lru_cache(maxsize=None)
+def kernel_x2_gradient_fn(node: Node):
+    """Jitted ``d k(x1_i, x2_j) / d x2_j`` with shape (N1, N2, ndim)."""
+    value = _value_builder(node)
+
+    def x2_grad(theta, X1, X2):
+        def one_col(x2):
+            return jax.jacfwd(
+                lambda x: value(theta, X1, x[None, :])[:, 0]
+            )(x2)
+        return jnp.swapaxes(jax.vmap(one_col)(X2), 0, 1)
+
+    return jax.jit(x2_grad)

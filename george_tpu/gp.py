@@ -1,0 +1,427 @@
+# -*- coding: utf-8 -*-
+"""The Gaussian Process object.
+
+API-compatible with the reference GP (/root/reference/src/george/gp.py):
+``compute`` / ``log_likelihood`` / ``grad_log_likelihood`` / ``predict`` /
+``sample`` / ``sample_conditional`` / ``apply_inverse`` / ``get_matrix`` plus
+the full modeling-protocol parameter surface, the dirty-flag recompute
+contract, and the alpha cache keyed on the identity of ``y``.
+
+The numerics are TPU-native: the covariance build, Cholesky factorization,
+solves, and the *entire* hyperparameter gradient run as fused jitted XLA
+programs.  In particular :meth:`grad_log_likelihood` is one reverse-mode pass
+through the Cholesky (O(N^2) memory) instead of the reference's dense
+``K^{-1}`` plus (N, N, P) gradient-tensor contraction (gp.py:406-468).
+
+For the sampler-facing *pure functional* interface (no object state, fully
+jit/vmap/shard_map-able), see :func:`george_tpu.samplers.build_gp_log_prob`.
+"""
+
+import warnings
+
+import numpy as np
+from scipy.linalg import LinAlgError
+
+from . import kernels
+from .modeling import ModelSet, ConstantModel
+from .ops import linalg
+from .solvers import TrivialSolver, BasicSolver
+from .utils import multivariate_gaussian_samples
+
+__all__ = ["GP"]
+
+# Diagonal jitter used when sampling without observational uncertainties;
+# value matches the reference (gp.py:19).
+TINY = 1.25e-12
+
+
+def _parse_model(model):
+    try:
+        value = float(model)
+    except TypeError:
+        return model
+    return ConstantModel(value)
+
+
+class GP(ModelSet):
+    """The basic Gaussian Process regression object.
+
+    :param kernel: a :class:`kernels.Kernel` (default: EmptyKernel, in which
+        case the trivial diagonal solver is used).
+    :param fit_kernel: include kernel parameters in the active set
+        (default True).
+    :param mean: scalar, callable, or modeling-protocol object for the mean
+        function (default 0).
+    :param fit_mean: include mean parameters in the active set.
+    :param white_noise: scalar, callable, or model for the *log* of the white
+        noise variance added to the diagonal (default log(TINY)).
+    :param fit_white_noise: include white-noise parameters in the active set.
+    :param solver: solver class (TrivialSolver / BasicSolver / HODLRSolver).
+    :param kwargs: forwarded to the solver constructor.
+    """
+
+    def __init__(self, kernel=None, fit_kernel=True, mean=None,
+                 fit_mean=None, white_noise=None, fit_white_noise=None,
+                 solver=None, **kwargs):
+        self._computed = False
+        self._alpha = None
+        self._y = None
+
+        super(GP, self).__init__([
+            ("mean",
+             ConstantModel(0.0) if mean is None else _parse_model(mean)),
+            ("white_noise",
+             ConstantModel(np.log(TINY)) if white_noise is None
+             else _parse_model(white_noise)),
+            ("kernel",
+             kernels.EmptyKernel() if kernel is None else kernel),
+        ])
+
+        # A bare scalar mean / white noise should not be fit unless asked.
+        if _is_scalar(mean):
+            fit_mean = bool(fit_mean)
+        if _is_scalar(white_noise):
+            fit_white_noise = bool(fit_white_noise)
+
+        if not fit_kernel:
+            self.models["kernel"].freeze_all_parameters()
+        if mean is None or (fit_mean is not None and not fit_mean):
+            self.models["mean"].freeze_all_parameters()
+        if white_noise is None or (
+                fit_white_noise is not None and not fit_white_noise):
+            self.models["white_noise"].freeze_all_parameters()
+
+        if solver is None:
+            trivial = (
+                kernel is None
+                or kernel.kernel_type == kernels.EmptyKernel.kernel_type
+            )
+            solver = TrivialSolver if trivial else BasicSolver
+        self.solver_type = solver
+        self.solver_kwargs = kwargs
+        self.solver = None
+
+    # -- component access -------------------------------------------------------
+
+    @property
+    def mean(self):
+        """The mean-function model."""
+        return self.models["mean"]
+
+    @property
+    def white_noise(self):
+        """The log-white-noise-variance model."""
+        return self.models["white_noise"]
+
+    def _call_mean(self, x):
+        x_in = x[:, 0] if (x.ndim == 2 and x.shape[1] == 1) else x
+        mu = np.asarray(self.mean.get_value(x_in)).flatten()
+        if not np.all(np.isfinite(mu)):
+            raise ValueError(
+                "mean function returned NaN or Inf for parameters:\n"
+                "{0}".format(self.mean.get_parameter_dict(include_frozen=True))
+            )
+        return mu
+
+    def _call_mean_gradient(self, x):
+        x_in = x[:, 0] if (x.ndim == 2 and x.shape[1] == 1) else x
+        mu = self.mean.get_gradient(x_in)
+        if np.any(np.isnan(mu)) or np.any(np.isinf(mu)):
+            raise ValueError(
+                "mean gradient function returned NaN or Inf for parameters:\n"
+                "{0}".format(self.mean.get_parameter_dict(include_frozen=True))
+            )
+        return mu
+
+    def _call_white_noise(self, x):
+        x_in = x[:, 0] if (x.ndim == 2 and x.shape[1] == 1) else x
+        return np.asarray(self.white_noise.get_value(x_in)).flatten()
+
+    def _call_white_noise_gradient(self, x):
+        x_in = x[:, 0] if (x.ndim == 2 and x.shape[1] == 1) else x
+        return self.white_noise.get_gradient(x_in)
+
+    # -- computed state -----------------------------------------------------------
+
+    @property
+    def computed(self):
+        """True if the factorization is current w.r.t. the parameters."""
+        return (
+            self._computed
+            and self.solver.computed
+            and not self.kernel.dirty
+        )
+
+    @computed.setter
+    def computed(self, v):
+        self._computed = v
+        if v:
+            self.kernel.dirty = False
+
+    def parse_samples(self, t):
+        """Coerce inputs to (nsamples, ndim) and check against the kernel."""
+        t = np.atleast_1d(t)
+        if t.ndim == 1:
+            t = np.atleast_2d(t).T
+        if t.ndim != 2 or t.shape[1] != self.kernel.ndim:
+            raise ValueError("Dimension mismatch")
+        return t
+
+    def _check_dimensions(self, y, check_dim=True):
+        n = self._x.shape[0]
+        y = np.atleast_1d(y)
+        if check_dim and y.ndim > 1:
+            raise ValueError("The predicted dimension must be 1-D")
+        if len(y) != n:
+            raise ValueError("Dimension mismatch")
+        return y
+
+    def _compute_alpha(self, y, cache):
+        if not cache:
+            r = np.ascontiguousarray(
+                self._check_dimensions(y) - self._call_mean(self._x),
+                dtype=np.float64,
+            )
+            return self.solver.apply_inverse(r, in_place=True).flatten()
+        if self._alpha is None or not np.array_equiv(y, self._y):
+            self._y = y
+            r = np.ascontiguousarray(
+                self._check_dimensions(y) - self._call_mean(self._x),
+                dtype=np.float64,
+            )
+            self._alpha = self.solver.apply_inverse(
+                r, in_place=True
+            ).flatten()
+        return self._alpha
+
+    # -- factorization ---------------------------------------------------------------
+
+    def compute(self, x, yerr=0.0, **kwargs):
+        """Factorize K(x, x) + diag(yerr^2 + exp(white_noise))."""
+        self._x = np.ascontiguousarray(
+            self.parse_samples(x), dtype=np.float64
+        )
+        yerr_arr = np.asarray(yerr, dtype=np.float64)
+        if yerr_arr.ndim == 0:
+            self._yerr2 = float(yerr_arr) ** 2 * np.ones(len(self._x))
+        else:
+            self._yerr2 = self._check_dimensions(yerr_arr) ** 2
+        self._yerr2 = np.ascontiguousarray(self._yerr2, dtype=np.float64)
+
+        self.solver = self.solver_type(self.kernel, **self.solver_kwargs)
+        total_err = np.sqrt(
+            self._yerr2 + np.exp(self._call_white_noise(self._x))
+        )
+        self.solver.compute(self._x, total_err, **kwargs)
+
+        self._const = -0.5 * (
+            len(self._x) * np.log(2 * np.pi) + self.solver.log_determinant
+        )
+        self.computed = True
+        self._alpha = None
+
+    def recompute(self, quiet=False, **kwargs):
+        """Refactorize if the parameters changed since the last compute."""
+        if not self.computed:
+            if not (hasattr(self, "_x") and hasattr(self, "_yerr2")):
+                raise RuntimeError("You need to compute the model first")
+            try:
+                self.compute(self._x, np.sqrt(self._yerr2), **kwargs)
+            except (ValueError, LinAlgError):
+                if quiet:
+                    return False
+                raise
+        return True
+
+    # -- likelihood ---------------------------------------------------------------------
+
+    def log_likelihood(self, y, quiet=False):
+        """Marginalized log-likelihood of ``y`` under the GP model."""
+        if not self.recompute(quiet=quiet):
+            return -np.inf
+        try:
+            mu = self._call_mean(self._x)
+        except ValueError:
+            if quiet:
+                return -np.inf
+            raise
+        r = np.ascontiguousarray(
+            self._check_dimensions(y) - mu, dtype=np.float64
+        )
+        ll = self._const - 0.5 * self.solver.dot_solve(r)
+        return ll if np.isfinite(ll) else -np.inf
+
+    def grad_log_likelihood(self, y, quiet=False):
+        """Gradient of the log-likelihood w.r.t. the active parameters.
+
+        Ordering matches :meth:`get_parameter_vector`: mean, white noise,
+        kernel.  Kernel and white-noise terms come from a single reverse-mode
+        pass (see ops/linalg.grad_core_fn); the mean term is the analytic
+        (d mu / d theta) @ alpha contraction.
+        """
+        if not self.recompute(quiet=quiet):
+            return np.zeros(len(self), dtype=np.float64)
+
+        try:
+            mu = self._call_mean(self._x)
+        except ValueError:
+            if quiet:
+                return np.zeros(len(self), dtype=np.float64)
+            raise
+        r = np.ascontiguousarray(
+            self._check_dimensions(y) - mu, dtype=np.float64
+        )
+
+        node = self.kernel.spec_node()
+        theta = self.kernel.get_parameter_vector(include_frozen=True)
+        wn_vec = self._call_white_noise(self._x)
+        g_theta, g_wn_vec, alpha = (
+            np.asarray(v) for v in linalg.grad_core_fn(node)(
+                theta, wn_vec, self._x, r, self._yerr2
+            )
+        )
+
+        grad = np.empty(len(self))
+        n = 0
+
+        n_mean = len(self.mean)
+        if n_mean:
+            try:
+                mu_grad = self._call_mean_gradient(self._x)
+            except ValueError:
+                if quiet:
+                    return np.zeros(len(self), dtype=np.float64)
+                raise
+            grad[n:n + n_mean] = np.dot(mu_grad, alpha)
+            n += n_mean
+
+        n_wn = len(self.white_noise)
+        if n_wn:
+            wn_grad = np.atleast_2d(self._call_white_noise_gradient(self._x))
+            grad[n:n + n_wn] = wn_grad @ g_wn_vec
+            n += n_wn
+
+        n_k = len(self.kernel)
+        if n_k:
+            grad[n:n + n_k] = g_theta[self.kernel.unfrozen_mask]
+
+        return grad
+
+    def lnlikelihood(self, y, quiet=False):
+        warnings.warn(
+            "'lnlikelihood' is deprecated. Use 'log_likelihood'",
+            DeprecationWarning,
+        )
+        return self.log_likelihood(y, quiet=quiet)
+
+    def grad_lnlikelihood(self, y, quiet=False):
+        warnings.warn(
+            "'grad_lnlikelihood' is deprecated. Use 'grad_log_likelihood'",
+            DeprecationWarning,
+        )
+        return self.grad_log_likelihood(y, quiet=quiet)
+
+    def nll(self, vector, y, quiet=True):
+        """Negative log-likelihood at ``vector`` (for scipy optimizers)."""
+        self.set_parameter_vector(vector)
+        if not np.isfinite(self.log_prior()):
+            return np.inf
+        return -self.log_likelihood(y, quiet=quiet)
+
+    def grad_nll(self, vector, y, quiet=True):
+        """Gradient of :meth:`nll` at ``vector``."""
+        self.set_parameter_vector(vector)
+        if not np.isfinite(self.log_prior()):
+            return np.zeros(len(vector))
+        return -self.grad_log_likelihood(y, quiet=quiet)
+
+    # -- prediction -----------------------------------------------------------------------
+
+    def apply_inverse(self, y):
+        """Apply K^{-1} (with the mean subtracted) to a vector or matrix."""
+        self.recompute(quiet=False)
+        r = np.array(y, dtype=np.float64, order="F")
+        r = self._check_dimensions(r, check_dim=False)
+        expand = (slice(None),) + (np.newaxis,) * (r.ndim - 1)
+        r -= self._call_mean(self._x)[expand]
+        if r.ndim == 1:
+            return self.solver.apply_inverse(r, in_place=True).flatten()
+        return self.solver.apply_inverse(r, in_place=True)
+
+    def predict(self, y, t, return_cov=True, return_var=False, cache=True,
+                kernel=None):
+        """Conditional predictive distribution at test points ``t``.
+
+        Returns ``mu``, ``(mu, cov)``, or ``(mu, var)`` depending on
+        ``return_cov`` / ``return_var``.  Passing ``kernel=`` computes the
+        cross terms with a different kernel (for separating the predictions
+        of kernel mixtures).
+        """
+        self.recompute()
+        alpha = self._compute_alpha(y, cache)
+        xs = self.parse_samples(t)
+
+        if kernel is None:
+            kernel = self.kernel
+
+        Kxs = kernel.get_value(xs, self._x)
+        mu = np.dot(Kxs, alpha) + self._call_mean(xs)
+        if not (return_var or return_cov):
+            return mu
+
+        KinvKxs = self.solver.apply_inverse(Kxs.T)
+        if return_var:
+            var = kernel.get_value(xs, diag=True)
+            var -= np.sum(Kxs.T * KinvKxs, axis=0)
+            return mu, var
+
+        cov = kernel.get_value(xs)
+        cov -= np.dot(Kxs, KinvKxs)
+        return mu, cov
+
+    def sample_conditional(self, y, t, size=1):
+        """Draw samples from the predictive conditional distribution."""
+        mu, cov = self.predict(y, t)
+        return multivariate_gaussian_samples(cov, size, mean=mu)
+
+    def sample(self, t=None, size=1):
+        """Draw samples from the GP prior."""
+        if t is None:
+            self.recompute()
+            n = self._x.shape[0]
+            results = self.solver.apply_sqrt(np.random.randn(size, n))
+            results += self._call_mean(self._x)
+            return results[0] if size == 1 else results
+
+        x = self.parse_samples(t)
+        cov = self.get_matrix(x)
+        cov[np.diag_indices_from(cov)] += TINY
+        return multivariate_gaussian_samples(
+            cov, size, mean=self._call_mean(x)
+        )
+
+    def get_matrix(self, x1, x2=None):
+        """The bare covariance matrix at coordinates x1 (x cross x2)."""
+        x1 = self.parse_samples(x1)
+        if x2 is None:
+            return self.kernel.get_value(x1)
+        x2 = self.parse_samples(x2)
+        return self.kernel.get_value(x1, x2)
+
+    # -- modeling-protocol synonyms ----------------------------------------------------------
+
+    def get_value(self, *args, **kwargs):
+        """Synonym for :meth:`log_likelihood` (modeling protocol)."""
+        return self.log_likelihood(*args, **kwargs)
+
+    def get_gradient(self, *args, **kwargs):
+        """Synonym for :meth:`grad_log_likelihood` (modeling protocol)."""
+        return self.grad_log_likelihood(*args, **kwargs)
+
+
+def _is_scalar(value):
+    try:
+        float(value)
+    except TypeError:
+        return False
+    return value is not None

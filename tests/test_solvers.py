@@ -1,0 +1,91 @@
+# -*- coding: utf-8 -*-
+"""Solver tests vs dense numpy oracles (parity with reference
+tests/test_solvers.py)."""
+
+import numpy as np
+import pytest
+
+import george_tpu as george
+from george_tpu import kernels, TrivialSolver, BasicSolver, HODLRSolver
+
+
+def test_trivial_solver(N=300, seed=1234):
+    np.random.seed(seed)
+    x = np.random.randn(N, 3)
+    yerr = 1e-3 * np.ones(N)
+    y = np.sin(np.sum(x, axis=1))
+
+    solver = TrivialSolver()
+    solver.compute(x, yerr)
+
+    assert np.allclose(solver.log_determinant, 2 * np.sum(np.log(yerr)))
+    assert np.allclose(solver.apply_inverse(y), y / yerr ** 2)
+    assert np.allclose(solver.dot_solve(y), np.sum(y ** 2 / yerr ** 2))
+
+
+def _check_solver(Solver, N=300, seed=1234, **kwargs):
+    kernel = 1.0 * kernels.ExpSquaredKernel(1.0)
+    solver = Solver(kernel, **kwargs)
+
+    np.random.seed(seed)
+    x = np.atleast_2d(np.sort(10 * np.random.randn(N))).T
+    yerr = np.ones(N)
+    solver.compute(x, yerr)
+
+    K = kernel.get_value(x)
+    K[np.diag_indices_from(K)] += yerr ** 2
+
+    sgn, lndet = np.linalg.slogdet(K)
+    assert sgn == 1.0, "invalid determinant"
+    assert np.allclose(solver.log_determinant, lndet), "incorrect determinant"
+
+    y = np.sin(x[:, 0])
+    b0 = np.linalg.solve(K, y)
+    b = solver.apply_inverse(y).flatten()
+    assert np.allclose(b, b0)
+
+    assert np.allclose(solver.apply_inverse(K), np.eye(N)), "incorrect inverse"
+
+
+def test_basic_solver(**kwargs):
+    _check_solver(BasicSolver, **kwargs)
+
+
+def test_hodlr_solver(**kwargs):
+    _check_solver(HODLRSolver, tol=1e-10, **kwargs)
+
+
+def test_strange_hodlr_bug():
+    # Regression test from the reference (tests/test_solvers.py:64-75):
+    # a 200-point slice of a 50k-point dataset must factorize cleanly.
+    np.random.seed(1234)
+    x = np.sort(np.random.uniform(0, 10, 50000))
+    yerr = 0.1 * np.ones_like(x)
+    y = np.sin(x)
+
+    kernel = np.var(y) * kernels.ExpSquaredKernel(1.0)
+
+    gp_hodlr = george.GP(kernel, solver=HODLRSolver, seed=42)
+    n = 200
+    gp_hodlr.compute(x[:n], yerr[:n])
+    assert np.isfinite(gp_hodlr.log_likelihood(y[:n]))
+
+
+def test_solver_consistency_large(N=2000, seed=4321):
+    # Basic and HODLR agree on the likelihood at N large enough for the
+    # hierarchical path to actually recurse.
+    np.random.seed(seed)
+    x = np.sort(np.random.uniform(0, 10, N))
+    yerr = 0.1 * np.ones(N)
+    y = np.sin(x)
+    kernel = np.var(y) * kernels.ExpSquaredKernel(1.0)
+
+    gp_basic = george.GP(kernel)
+    gp_basic.compute(x, yerr)
+    ll_basic = gp_basic.log_likelihood(y)
+
+    gp_hodlr = george.GP(kernel, solver=HODLRSolver, tol=1e-10, seed=42)
+    gp_hodlr.compute(x, yerr)
+    ll_hodlr = gp_hodlr.log_likelihood(y)
+
+    assert np.allclose(ll_basic, ll_hodlr)
