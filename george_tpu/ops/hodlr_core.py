@@ -1,0 +1,340 @@
+# -*- coding: utf-8 -*-
+"""Level-batched HODLR factorization (TPU re-derivation).
+
+The reference implements HODLR (arXiv:1403.6015) as a recursive C++ tree with
+per-node sequential ACA and Eigen factorizations
+(/root/reference/src/george/include/george/hodlr.h).  That shape — pointer
+tree, data-dependent ranks, per-node small dense ops — is hostile to XLA.
+This module re-derives the same algorithm as *level-batched* tensor programs:
+
+  * the binary tree over the (padded, power-of-two) index range is implicit:
+    level q has 2^q nodes of size N_pad / 2^q, so every per-node quantity at a
+    level is one stacked array and every per-node operation is a batched
+    einsum/Cholesky/LU — MXU-resident, vmap-free loop bodies;
+  * each level's off-diagonal blocks are compressed by *batched* partial-
+    pivot ACA with a static rank cap and a running Frobenius-norm stopping
+    rule (masked lockstep iterations), matching the reference's tolerance
+    semantics (hodlr.h:136-221) without data-dependent shapes;
+  * the factorization identity is multiplicative:  writing each node as
+    ``[[A, U V^T], [V U^T, C]] = blockdiag(A, C) @ (I + low-rank)``, the full
+    matrix telescopes to ``K = D_leaf * F_(L-1) * ... * F_0`` where
+    ``F_q = I + blockdiag_over_nodes([[0, Ut V^T], [Vt U^T, 0]])`` with
+    ``Ut = A^{-1} U``, ``Vt = C^{-1} V``.  Each ``F_q^{-1}`` is a rank-2r
+    Woodbury update; the compute sweep transforms every shallower level's
+    factors level-by-level — the batched analog of the reference's
+    "apply my inverse to all ancestors" post-order sweep (hodlr.h:75-103);
+  * log det K = sum of leaf Cholesky log-dets plus log det of each 2r x 2r
+    coupling matrix S_q = [[I, U^T Ut], [V^T Vt, I]] (hodlr.h:86-93).
+
+Solves cost O(N log N) per right-hand side after an O(N r^2 log^2 N)
+compute, with every step a batched matmul or batched small factorization.
+"""
+
+import math
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve as _cho_solve
+from jax.scipy.linalg import lu_factor, lu_solve
+
+from ..dsl import compiler
+
+__all__ = ["HODLRFactorization", "hodlr_compute", "hodlr_solve", "plan_tree"]
+
+
+@dataclass
+class HODLRFactorization:
+    """Device-side state of a computed HODLR factorization."""
+
+    n: int                     # true problem size
+    n_pad: int                 # padded (power-of-two leaf multiple) size
+    levels: int                # number of internal levels L
+    leaf_size: int
+    leaf_chol: jnp.ndarray     # (n_leaf, m, m) lower Cholesky factors
+    level_U0: List[jnp.ndarray] = field(default_factory=list)
+    level_V0: List[jnp.ndarray] = field(default_factory=list)
+    level_Ut: List[jnp.ndarray] = field(default_factory=list)
+    level_Vt: List[jnp.ndarray] = field(default_factory=list)
+    level_S_lu: List[Tuple] = field(default_factory=list)
+    log_determinant: float = 0.0
+
+
+def plan_tree(n, min_size):
+    """Choose tree depth and padding: leaves satisfy size < 2 * min_size."""
+    levels = 0
+    while (n >> levels) >= 2 * max(1, min_size) and (n >> levels) > 2:
+        levels += 1
+    n_leaf = 1 << levels
+    leaf_size = -(-n // n_leaf)  # ceil
+    return levels, n_leaf * leaf_size, leaf_size
+
+
+def _rank_cap(tol, m):
+    """Static ACA rank cap from the tolerance (reference caps at full rank)."""
+    if tol <= 0:
+        return m
+    cap = 16 + int(round(-8.0 * math.log10(max(tol, 1e-14))))
+    return int(min(m, max(8, cap)))
+
+
+@lru_cache(maxsize=None)
+def _leaf_factor_fn(node):
+    """Batched leaf build + Cholesky: masked kernel blocks with unit diagonal
+    padding so that K_pad = [[K, 0], [0, I]] exactly."""
+    value = compiler._value_builder(node)
+
+    @jax.jit
+    def factor(theta, xb, diagb, validb):
+        # xb: (n_leaf, m, d); diagb: (n_leaf, m); validb: (n_leaf, m) bool
+        def one(xx, dd, vv):
+            K = value(theta, xx, xx)
+            K = jnp.where(vv[:, None] & vv[None, :], K, 0.0)
+            K = K + jnp.diag(jnp.where(vv, dd, 1.0))
+            return jnp.linalg.cholesky(K)
+
+        L = jax.vmap(one)(xb, diagb, validb)
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1))
+        )
+        return L, logdet
+
+    return factor
+
+
+@lru_cache(maxsize=None)
+def _aca_fn(node, rank):
+    """Batched partial-pivot ACA of off-diagonal blocks B = k(Xl, Xr).
+
+    Runs ``rank`` lockstep iterations per node; once a node's running
+    Frobenius estimate says it converged (|u||v| <= tol * |B_approx|_F), its
+    remaining columns are written as zeros.  Pivot rows follow the classic
+    max-|residual-column| rule seeded by the first valid row.
+    """
+    value = compiler._value_builder(node)
+
+    def aca_single(theta, Xl, Xr, ml, mr, tol):
+        m = Xl.shape[0]
+        dtype = Xl.dtype
+        U = jnp.zeros((m, rank), dtype=dtype)
+        V = jnp.zeros((m, rank), dtype=dtype)
+        used = ~ml  # padded rows can never be pivots
+        # Seed the first pivot row from the largest entry of the first valid
+        # column: starting from an arbitrary row risks a pivot that is many
+        # orders of magnitude below the block scale (e.g. the far corner of a
+        # rapidly-decaying kernel block), whose elimination overflows.
+        col0 = value(theta, Xl, Xr[jnp.argmax(mr)][None, :])[:, 0]
+        col0 = jnp.where(ml, jnp.abs(col0), -jnp.inf)
+        i_cur = jnp.argmax(col0)
+        norm2 = jnp.zeros((), dtype=dtype)
+        scale = jnp.maximum(jnp.max(col0), 0.0)  # running block scale
+        done = jnp.zeros((), dtype=bool)
+
+        def body(k, carry):
+            U, V, used, i_cur, norm2, scale, done = carry
+            # Residual row i_cur of B - U V^T.
+            row = value(theta, Xl[i_cur][None, :], Xr)[0]
+            row = row * mr - U[i_cur] @ V.T
+            j = jnp.argmax(jnp.abs(row))
+            pivot = row[j]
+            # Once the residual reaches the floating-point noise floor of the
+            # eliminations so far, pivots are pure cancellation noise and
+            # u = col / pivot would blow up — treat that as converged.
+            ok = (jnp.abs(pivot) > 1e-14 * scale) \
+                & (jnp.abs(pivot) > 1e-300) & ~done
+            # Residual column j.
+            col = value(theta, Xl, Xr[j][None, :])[:, 0]
+            col = col * ml - U @ V[j]
+            u = jnp.where(ok, col / jnp.where(ok, pivot, 1.0), 0.0)
+            v = jnp.where(ok, row, 0.0)
+            # Frobenius-norm running estimate (cross terms use only the
+            # already-written columns, which are zero beyond k).
+            cross = jnp.sum((U.T @ u) * (V.T @ v))
+            term = jnp.sum(u * u) * jnp.sum(v * v)
+            norm2 = norm2 + 2.0 * cross + term
+            scale = jnp.maximum(scale, jnp.abs(pivot))
+            done = done | (term <= tol * tol * norm2) | ~ok
+            U = U.at[:, k].set(u)
+            V = V.at[:, k].set(v)
+            used = used | (jnp.arange(m) == i_cur)
+            scores = jnp.where(used, -jnp.inf, jnp.abs(u))
+            i_cur = jnp.argmax(scores)
+            return U, V, used, i_cur, norm2, scale, done
+
+        U, V, _, _, _, _, _ = jax.lax.fori_loop(
+            0, rank, body, (U, V, used, i_cur, norm2, scale, done)
+        )
+        return U, V
+
+    @jax.jit
+    def aca(theta, Xl, Xr, ml, mr, tol):
+        return jax.vmap(aca_single, in_axes=(None, 0, 0, 0, 0, None))(
+            theta, Xl, Xr, ml, mr, tol
+        )
+
+    return aca
+
+
+@jax.jit
+def _leaf_solve(leaf_chol, y):
+    """Apply blockdiag(leaf)^-1 to a (n_pad, k) matrix."""
+    n_leaf, m, _ = leaf_chol.shape
+    yb = y.reshape(n_leaf, m, -1)
+    out = jax.vmap(lambda L, b: _cho_solve((L, True), b))(leaf_chol, yb)
+    return out.reshape(y.shape)
+
+
+@jax.jit
+def _level_couplings(U0, V0, Ut, Vt):
+    """S_q = [[I, U^T Ut], [V^T Vt, I]] per node, its LU, and sum log|det|."""
+    A = jnp.einsum("nmr,nms->nrs", U0, Ut)
+    B = jnp.einsum("nmr,nms->nrs", V0, Vt)
+    r = A.shape[-1]
+    eye = jnp.eye(r, dtype=A.dtype)
+    top = jnp.concatenate([jnp.broadcast_to(eye, A.shape), A], axis=2)
+    bot = jnp.concatenate([B, jnp.broadcast_to(eye, B.shape)], axis=2)
+    S = jnp.concatenate([top, bot], axis=1)
+    lu, piv = jax.vmap(lu_factor)(S)
+    # log|det| from the U factor of the LU decomposition.
+    diag = jnp.diagonal(lu, axis1=-2, axis2=-1)
+    logdet = jnp.sum(jnp.log(jnp.abs(diag)))
+    return (lu, piv), logdet
+
+
+@jax.jit
+def _apply_level_inverse(U0, V0, Ut, Vt, S_lu, y):
+    """Apply F_q^{-1} = I - X S^{-1} Y^T to a (n_pad, k) matrix.
+
+    With X w = (Ut w2; Vt w1) and Y^T z = [U^T z_top; V^T z_bot] per node.
+    """
+    lu, piv = S_lu
+    nodes, m, r = U0.shape
+    yb = y.reshape(nodes, 2, m, -1)
+    w1 = jnp.einsum("nmr,nmk->nrk", U0, yb[:, 0])
+    w2 = jnp.einsum("nmr,nmk->nrk", V0, yb[:, 1])
+    w = jnp.concatenate([w1, w2], axis=1)
+    s = jax.vmap(lambda f, p, b: lu_solve((f, p), b))(lu, piv, w)
+    s1, s2 = s[:, :r], s[:, r:]
+    top = yb[:, 0] - jnp.einsum("nmr,nrk->nmk", Ut, s2)
+    bot = yb[:, 1] - jnp.einsum("nmr,nrk->nmk", Vt, s1)
+    return jnp.stack([top, bot], axis=1).reshape(y.shape)
+
+
+def hodlr_compute(node, theta, x, diag_noise, min_size=100, tol=0.1,
+                  seed=42, max_rank=None):
+    """Compute the HODLR factorization of K(x, x) + diag(diag_noise).
+
+    ``node`` is the kernel's static expression tree, ``theta`` its full
+    parameter vector.  ``seed`` is accepted for API parity with the reference
+    (its randomized row sampling, _hodlr.cpp:65-68); the batched ACA here is
+    deterministic, so the seed only pins the (already deterministic) result.
+    """
+    x = jnp.asarray(x)
+    theta = jnp.asarray(theta)
+    diag_noise = jnp.asarray(diag_noise)
+    n, d = x.shape
+
+    levels, n_pad, leaf_size = plan_tree(n, min_size)
+    n_leaf = 1 << levels
+
+    pad = n_pad - n
+    x_pad = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad, d))])
+    diag_pad = jnp.concatenate([diag_noise, jnp.ones(pad, x.dtype)])
+    valid = jnp.arange(n_pad) < n
+
+    fact = HODLRFactorization(
+        n=n, n_pad=n_pad, levels=levels, leaf_size=leaf_size,
+        leaf_chol=None,
+    )
+
+    # Leaves: batched masked build + Cholesky.
+    xb = x_pad.reshape(n_leaf, leaf_size, d)
+    db = diag_pad.reshape(n_leaf, leaf_size)
+    vb = valid.reshape(n_leaf, leaf_size)
+    leaf_chol, logdet = _leaf_factor_fn(node)(theta, xb, db, vb)
+    fact.leaf_chol = leaf_chol
+    logdet = float(logdet)
+    if not np.isfinite(logdet):
+        from scipy.linalg import LinAlgError
+        raise LinAlgError("HODLR leaf factorization failed (not PD?)")
+
+    # Off-diagonal factors per level (deepest blocks are smallest).
+    for q in range(levels):
+        m = n_pad >> (q + 1)
+        shaped = x_pad.reshape(1 << q, 2, m, d)
+        vq = valid.reshape(1 << q, 2, m)
+        rank = min(m, max_rank) if max_rank else _rank_cap(tol, m)
+        U, V = _aca_fn(node, rank)(
+            theta, shaped[:, 0], shaped[:, 1], vq[:, 0], vq[:, 1],
+            jnp.asarray(tol, x.dtype),
+        )
+        fact.level_U0.append(U)
+        fact.level_V0.append(V)
+        # Start the transform with the raw factors; the sweep below applies
+        # the leaf inverse and the deeper levels' Woodbury inverses.
+        fact.level_Ut.append(U)
+        fact.level_Vt.append(V)
+        fact.level_S_lu.append(None)
+
+    # Transform sweep: leaf inverses first, then deepest -> shallowest.
+    # U factors live on left-child ranges and V factors on right-child
+    # ranges, so per level they interleave into one full-height matrix.
+    def _to_full(Uq, Vq):
+        nodes_q, m, r = Uq.shape
+        return jnp.stack([Uq, Vq], axis=1).reshape(n_pad, r)
+
+    def _from_full(Z, shape):
+        nodes_q, m, r = shape
+        Z = Z.reshape(nodes_q, 2, m, r)
+        return Z[:, 0], Z[:, 1]
+
+    for q in range(levels):
+        shape = fact.level_Ut[q].shape
+        Z = _to_full(fact.level_Ut[q], fact.level_Vt[q])
+        Z = _leaf_solve(leaf_chol, Z)
+        fact.level_Ut[q], fact.level_Vt[q] = _from_full(Z, shape)
+
+    for q in range(levels - 1, -1, -1):
+        S_lu, ld = _level_couplings(
+            fact.level_U0[q], fact.level_V0[q],
+            fact.level_Ut[q], fact.level_Vt[q],
+        )
+        fact.level_S_lu[q] = S_lu
+        logdet += float(ld)
+        for p in range(q):
+            shape = fact.level_Ut[p].shape
+            Z = _to_full(fact.level_Ut[p], fact.level_Vt[p])
+            Z = _apply_level_inverse(
+                fact.level_U0[q], fact.level_V0[q],
+                fact.level_Ut[q], fact.level_Vt[q], S_lu, Z,
+            )
+            fact.level_Ut[p], fact.level_Vt[p] = _from_full(Z, shape)
+
+    if not np.isfinite(logdet):
+        from scipy.linalg import LinAlgError
+        raise LinAlgError("HODLR factorization failed (not PD?)")
+    fact.log_determinant = logdet
+    return fact
+
+
+def hodlr_solve(fact, y):
+    """Apply K^{-1} to a (n,) vector or (n, k) matrix."""
+    y = jnp.asarray(y)
+    single = y.ndim == 1
+    if single:
+        y = y[:, None]
+    pad = fact.n_pad - fact.n
+    z = jnp.concatenate(
+        [y, jnp.zeros((pad, y.shape[1]), y.dtype)], axis=0
+    )
+    z = _leaf_solve(fact.leaf_chol, z)
+    for q in range(fact.levels - 1, -1, -1):
+        z = _apply_level_inverse(
+            fact.level_U0[q], fact.level_V0[q],
+            fact.level_Ut[q], fact.level_Vt[q], fact.level_S_lu[q], z,
+        )
+    z = z[:fact.n]
+    return z[:, 0] if single else z

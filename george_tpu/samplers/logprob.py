@@ -1,0 +1,130 @@
+# -*- coding: utf-8 -*-
+"""Pure-functional GP posterior densities for the sampler layer.
+
+The reference delegates hyperparameter inference to external loops (scipy +
+emcee, docs/tutorials/hyper.rst:202-246) that re-enter the stateful GP object
+per proposal.  Here the entire posterior density — bounds prior + marginal
+likelihood, including the covariance build and Cholesky — compiles to ONE
+jitted, vmappable, shardable function of the active parameter vector.  This
+is the function NUTS/HMC/SMC/ADVI differentiate and evaluate millions of
+times; thousands of chains batch over it with ``vmap`` and shard over a
+``Mesh`` with ``shard_map``.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..dsl import compiler
+from ..modeling import ConstantModel, CallableModel
+from ..ops.linalg import cholesky_factor, cho_solve
+
+__all__ = ["build_gp_log_prob", "traceable_model_fn"]
+
+
+def traceable_model_fn(model, x_host):
+    """Return ``f(params_full, x) -> values`` for a mean/white-noise model.
+
+    Supported forms, in order of preference:
+      * the model defines ``jax_value(params, x)`` (the documented hook for
+        custom traceable models);
+      * :class:`ConstantModel` — closed form;
+      * any model with *no active parameters* — its host value at ``x_host``
+        is baked in as a constant;
+      * :class:`CallableModel` whose function is JAX-traceable.
+    """
+    if hasattr(model, "jax_value"):
+        return model.jax_value
+    if isinstance(model, ConstantModel):
+        return lambda params, x: params[0] + jnp.zeros(x.shape[0])
+    if model.vector_size == 0:
+        const = jnp.asarray(
+            np.broadcast_to(model.get_value(x_host), (len(x_host),))
+        )
+        return lambda params, x: const
+    if isinstance(model, CallableModel):
+        return lambda params, x: model.function(x)
+    raise TypeError(
+        "model {0} has trainable parameters but is not JAX-traceable; "
+        "define a jax_value(params, x) method".format(type(model).__name__)
+    )
+
+
+def _bounds_arrays(gp):
+    bounds = gp.get_parameter_bounds(include_frozen=True)
+    lo = np.array(
+        [-np.inf if b[0] is None else b[0] for b in bounds], dtype=np.float64
+    )
+    hi = np.array(
+        [np.inf if b[1] is None else b[1] for b in bounds], dtype=np.float64
+    )
+    return lo, hi
+
+
+def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None):
+    """Compile a GP hyperparameter posterior into a pure function.
+
+    :param gp: a :class:`george_tpu.GP` (its *current* frozen parameters are
+        baked in as constants).
+    :param x,y,yerr: the dataset, as in :meth:`GP.compute` /
+        :meth:`GP.log_likelihood`.
+    :param log_prior: optional extra traceable ``log_prior(theta_active)``
+        added on top of the modeling protocol's bounds prior.
+
+    Returns ``(log_prob, theta0)`` where ``log_prob(theta_active) -> scalar``
+    is jit/vmap/grad-safe and ``theta0`` is the current active vector.
+    """
+    x_host = np.ascontiguousarray(gp.parse_samples(x), dtype=np.float64)
+    y_host = np.asarray(y, dtype=np.float64)
+    yerr2 = np.broadcast_to(
+        np.asarray(yerr, dtype=np.float64) ** 2, (len(x_host),)
+    )
+
+    node = gp.kernel.spec_node()
+    kernel_value = compiler._value_builder(node)
+
+    mean_fn = traceable_model_fn(gp.mean, x_host)
+    wn_fn = traceable_model_fn(gp.white_noise, x_host)
+
+    # Layout of the full parameter vector: mean | white_noise | kernel
+    # (gp.py:78-95 ordering in the reference; ModelSet order here).
+    n_mean = gp.mean.full_size
+    n_wn = gp.white_noise.full_size
+    theta_full0 = jnp.asarray(gp.get_parameter_vector(include_frozen=True))
+    unfrozen = np.flatnonzero(gp.unfrozen_mask)
+    lo, hi = _bounds_arrays(gp)
+
+    x_dev = jnp.asarray(x_host)
+    y_dev = jnp.asarray(y_host)
+    yerr2_dev = jnp.asarray(yerr2)
+    n = x_host.shape[0]
+    norm_const = 0.5 * n * np.log(2.0 * np.pi)
+
+    def log_prob(theta_active):
+        theta = theta_full0.at[unfrozen].set(theta_active)
+        in_bounds = jnp.all((theta >= lo) & (theta <= hi))
+
+        th_mean = theta[:n_mean]
+        th_wn = theta[n_mean:n_mean + n_wn]
+        th_kernel = theta[n_mean + n_wn:]
+
+        r = y_dev - mean_fn(th_mean, x_dev)
+        diag_noise = yerr2_dev + jnp.exp(wn_fn(th_wn, x_dev))
+
+        K = kernel_value(th_kernel, x_dev, x_dev)
+        idx = jnp.arange(n)
+        K = K.at[idx, idx].add(diag_noise)
+        L, logdet = cholesky_factor(K)
+        alpha = cho_solve(L, r)
+        ll = -norm_const - 0.5 * (logdet + jnp.dot(r, alpha))
+
+        lp = jnp.where(in_bounds, ll, -jnp.inf)
+        if log_prior is not None:
+            lp = lp + log_prior(theta_active)
+        # Cholesky failure (non-PD) surfaces as NaN: map to -inf so samplers
+        # treat it as a rejected/divergent proposal (the quiet=True contract,
+        # reference gp.py:385-397).
+        return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+    theta0 = jnp.asarray(gp.get_parameter_vector())
+    return log_prob, theta0
