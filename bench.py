@@ -1,0 +1,88 @@
+# -*- coding: utf-8 -*-
+"""Headline benchmark: NUTS effective-samples/s/chip on a Matern32 GP, N=1k.
+
+Benchmark config #2 from BASELINE.md ("Matern32 + white-noise hyperparameter
+NUTS, N=1k").  Prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` compares against the reference-equivalent stack measured by
+benchmarks/reference_baseline.py (stretch-move ensemble over a dense scipy
+Cholesky likelihood — the inference loop the reference documents in
+docs/tutorials/hyper.rst, since it publishes no absolute numbers).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Measured by benchmarks/reference_baseline.py on this round's host CPU
+# (N=1000 Matern32+wn, 32 walkers x 300 stretch-move steps, min bulk ESS
+# over parameters / wall seconds).  Regenerate with that script.
+REFERENCE_ESS_PER_S = 0.23
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import george_tpu as george
+    from george_tpu import kernels
+    from george_tpu.samplers import build_gp_log_prob, run_mcmc
+    from george_tpu.samplers.diagnostics import effective_sample_size
+
+    n = 1000
+    num_chains = 16
+    num_warmup = 200
+    num_samples = 200
+
+    rng = np.random.default_rng(42)
+    x = np.sort(rng.uniform(0, 10, n))
+    yerr = 0.1 * np.ones(n)
+    y = np.sin(x) + yerr * rng.standard_normal(n)
+
+    gp = george.GP(
+        1.0 * kernels.Matern32Kernel(1.0),
+        white_noise=np.log(1e-4), fit_white_noise=True,
+    )
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+    dim = theta0.shape[0]
+
+    key = jax.random.PRNGKey(0)
+    z0 = jnp.asarray(theta0)[None, :] + 0.1 * jax.random.normal(
+        key, (num_chains, dim), jnp.asarray(theta0).dtype
+    )
+
+    # Compile (cached) with a tiny run, then time the real one.
+    run_mcmc(log_prob, z0, key, num_warmup=num_warmup,
+             num_samples=num_samples, max_depth=8).samples.block_until_ready()
+    t0 = time.time()
+    res = run_mcmc(log_prob, z0, jax.random.PRNGKey(1),
+                   num_warmup=num_warmup, num_samples=num_samples,
+                   max_depth=8)
+    res.samples.block_until_ready()
+    elapsed = time.time() - t0
+
+    ess = np.asarray(effective_sample_size(res.samples))
+    value = float(ess.min() / elapsed)
+    print(json.dumps({
+        "metric": "NUTS effective-samples/s/chip, Matern32 GP N=1k",
+        "value": round(value, 3),
+        "unit": "ess/s",
+        "vs_baseline": round(value / REFERENCE_ESS_PER_S, 2),
+        "detail": {
+            "n": n, "chains": num_chains,
+            "warmup": num_warmup, "samples": num_samples,
+            "seconds": round(elapsed, 2),
+            "ess_min": round(float(ess.min()), 1),
+            "ess_per_param": [round(float(v), 1) for v in ess],
+            "divergence_frac": round(float(res.diverging.mean()), 4),
+            "step_size": float(res.step_size),
+            "backend": jax.default_backend(),
+            "x64": bool(jax.config.jax_enable_x64),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+# -*- coding: utf-8 -*-
+"""Adaptive-tempering Sequential Monte Carlo.
+
+For multimodal posteriors (the quasi-periodic ExpSine2 period posterior in
+the benchmark ladder) where HMC/NUTS mix poorly between modes.  The particle
+cloud anneals from an initial distribution to the target through
+ESS-adaptive temperature steps, with systematic resampling and random-walk
+Metropolis mutations whose proposal covariance tracks the cloud.
+
+Everything is ``lax.while_loop``/``scan`` inside one jit; particles are the
+batch axis, ready for ``shard_map`` sharding with ``psum`` weight reductions
+(axis_name hook, SURVEY.md §2.6).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["run_smc", "SMCResult"]
+
+
+class SMCResult(NamedTuple):
+    particles: jnp.ndarray     # (num_particles, dim) final cloud
+    log_prob: jnp.ndarray      # (num_particles,) target density at particles
+    log_evidence: jnp.ndarray  # log normalizing-constant estimate
+    num_stages: jnp.ndarray    # temperature steps taken
+    acceptance: jnp.ndarray    # mean MH acceptance of the final stage
+
+
+def _systematic_resample(key, log_weights, axis_name=None):
+    """Systematic resampling; returns parent indices."""
+    n = log_weights.shape[0]
+    w = jnp.exp(log_weights - jax.nn.logsumexp(log_weights))
+    cum = jnp.cumsum(w)
+    u = (jax.random.uniform(key) + jnp.arange(n)) / n
+    return jnp.searchsorted(cum, u, side="left").clip(0, n - 1)
+
+
+def _ess(log_w):
+    log_norm = jax.nn.logsumexp(log_w)
+    return jnp.exp(2.0 * log_norm - jax.nn.logsumexp(2.0 * log_w))
+
+
+def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
+            target_ess_frac=0.5, max_stages=100, rw_scale=0.5,
+            axis_name=None):
+    """Anneal particles from ``exp(log_init_prob)`` to ``exp(log_prob)``.
+
+    :param log_prob: traceable target log density.
+    :param log_init_prob: traceable log density the particles were drawn
+        from (tempering path: (1-lam) * init + lam * target).
+    :param particles0: (num_particles, dim) draws from the init density.
+    :param num_mutations: random-walk MH steps per temperature stage.
+    :param target_ess_frac: ESS fraction that picks each temperature jump
+        (bisection, as in standard adaptive SMC).
+    """
+    particles0 = jnp.asarray(particles0)
+    n, dim = particles0.shape
+    dtype = particles0.dtype
+
+    v_target = jax.vmap(log_prob)
+    v_init = jax.vmap(log_init_prob)
+
+    def tempered(thetas, lam):
+        return lam * v_target(thetas) + (1.0 - lam) * v_init(thetas)
+
+    def choose_lambda(lam, delta_logw):
+        """Largest new lambda in (lam, 1] keeping ESS >= target (bisection)."""
+        target = target_ess_frac * n
+
+        def ess_at(new_lam):
+            return _ess((new_lam - lam) * delta_logw)
+
+        def cond(carry):
+            lo, hi, it = carry
+            return (it < 30) & (hi - lo > 1e-6)
+
+        def body(carry):
+            lo, hi, it = carry
+            mid = 0.5 * (lo + hi)
+            ok = ess_at(mid) >= target
+            return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid), it + 1)
+
+        full = ess_at(jnp.asarray(1.0, dtype)) >= target
+        lo, hi, _ = jax.lax.while_loop(
+            cond, body, (lam, jnp.asarray(1.0, dtype),
+                         jnp.zeros((), jnp.int32))
+        )
+        return jnp.where(full, jnp.asarray(1.0, dtype), lo)
+
+    def mutate(key, thetas, lam):
+        """Random-walk MH at temperature lam, cloud-covariance proposals."""
+        mean = jnp.mean(thetas, axis=0)
+        centered = thetas - mean
+        cov = centered.T @ centered / n
+        cov = cov + 1e-10 * jnp.eye(dim, dtype=dtype)
+        chol = jnp.linalg.cholesky(cov) * rw_scale
+
+        def one(carry, key_t):
+            thetas, accepts = carry
+            key_p, key_u = jax.random.split(key_t)
+            eps = jax.random.normal(key_p, (n, dim), dtype)
+            prop = thetas + eps @ chol.T
+            logp_old = tempered(thetas, lam)
+            logp_new = tempered(prop, lam)
+            delta = logp_new - logp_old
+            delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+            u = jax.random.uniform(key_u, (n,), dtype)
+            take = jnp.log(u) < delta
+            thetas = jnp.where(take[:, None], prop, thetas)
+            return (thetas, accepts + jnp.mean(take)), None
+
+        keys = jax.random.split(key, num_mutations)
+        (thetas, accepts), _ = jax.lax.scan(
+            one, (thetas, jnp.zeros((), dtype)), keys
+        )
+        return thetas, accepts / num_mutations
+
+    @jax.jit
+    def _run(particles0, key):
+        def cond(carry):
+            thetas, lam, logz, stage, accept, key = carry
+            return (lam < 1.0) & (stage < max_stages)
+
+        def body(carry):
+            thetas, lam, logz, stage, accept, key = carry
+            key, key_rs, key_mut = jax.random.split(key, 3)
+
+            delta_logw = v_target(thetas) - v_init(thetas)
+            delta_logw = jnp.where(
+                jnp.isnan(delta_logw), -jnp.inf, delta_logw
+            )
+            new_lam = choose_lambda(lam, delta_logw)
+            log_w = (new_lam - lam) * delta_logw
+            logz = logz + jax.nn.logsumexp(log_w) - jnp.log(1.0 * n)
+
+            parents = _systematic_resample(key_rs, log_w)
+            thetas = thetas[parents]
+            thetas, accept = mutate(key_mut, thetas, new_lam)
+            return thetas, new_lam, logz, stage + 1, accept, key
+
+        init = (particles0, jnp.zeros((), dtype), jnp.zeros((), dtype),
+                jnp.zeros((), jnp.int32), jnp.zeros((), dtype), key)
+        thetas, lam, logz, stage, accept, _ = jax.lax.while_loop(
+            cond, body, init
+        )
+        return SMCResult(
+            particles=thetas,
+            log_prob=v_target(thetas),
+            log_evidence=logz,
+            num_stages=stage,
+            acceptance=accept,
+        )
+
+    return _run(particles0, key)

@@ -1,0 +1,90 @@
+# -*- coding: utf-8 -*-
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest.py):
+chain-sharded NUTS with pooled adaptation, data-sharded covariance builds,
+and the chains x data composition."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import george_tpu as george
+from george_tpu import kernels
+from george_tpu.parallel import (
+    chain_mesh, chain_data_mesh, run_mcmc_sharded,
+    make_sharded_gp_log_prob_factory,
+)
+from george_tpu.samplers import build_gp_log_prob, summary
+
+A_INV = np.linalg.inv(np.array([[2.0, 0.6], [0.6, 1.0]]))
+MU = np.array([1.0, -2.0])
+
+
+def gaussian_log_prob(z):
+    d = z - MU
+    return -0.5 * d @ A_INV @ d
+
+
+def test_requires_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_chain_sharded_nuts_moments():
+    mesh = chain_mesh()
+    key = jax.random.PRNGKey(0)
+    z0 = jax.random.normal(key, (32, 2))
+    res = run_mcmc_sharded(gaussian_log_prob, None, z0, key, mesh,
+                           num_warmup=300, num_samples=300)
+    s = summary(res.samples)
+    assert np.all(np.abs(np.asarray(s["mean"]) - MU) < 0.06)
+    assert np.all(np.asarray(s["rhat"]) < 1.05)
+    # Every chain evolved differently (per-device RNG decorrelation).
+    chain_means = np.asarray(res.samples[:, :, 0].mean(axis=1))
+    assert len(np.unique(np.round(chain_means, 8))) == 32
+
+
+def test_data_sharded_log_prob_matches_unsharded(seed=7, N=64):
+    np.random.seed(seed)
+    x = np.sort(np.random.uniform(0, 10, N))
+    yerr = 0.1 * np.ones(N)
+    gp = george.GP(1.0 * kernels.Matern32Kernel(1.0))
+    y = gp.sample(x) + yerr * np.random.randn(N)
+
+    factory, data = make_sharded_gp_log_prob_factory(gp, x, y, yerr)
+    log_prob_ref, theta0 = build_gp_log_prob(gp, x, y, yerr)
+
+    mesh = chain_data_mesh(4, 2)
+    fn = jax.jit(jax.shard_map(
+        lambda xl, yl, el: factory(xl, yl, el)(theta0),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    ))
+    sharded = float(fn(*[jnp.asarray(d) for d in data]))
+    assert np.allclose(sharded, float(log_prob_ref(theta0)))
+
+
+def test_chains_by_data_hmc(seed=7, N=64):
+    # Full composition: chains sharded on one mesh axis, the covariance
+    # build data-sharded on the other.  Fixed-schedule HMC keeps every
+    # device in lockstep through the collectives.
+    np.random.seed(seed)
+    x = np.sort(np.random.uniform(0, 10, N))
+    yerr = 0.1 * np.ones(N)
+    gp = george.GP(1.0 * kernels.Matern32Kernel(1.0))
+    y = gp.sample(x) + yerr * np.random.randn(N)
+
+    factory, data = make_sharded_gp_log_prob_factory(gp, x, y, yerr)
+    _, theta0 = build_gp_log_prob(gp, x, y, yerr)
+    mesh = chain_data_mesh(4, 2)
+    key = jax.random.PRNGKey(3)
+    z0 = theta0 + 0.05 * jax.random.normal(key, (8, len(theta0)))
+    res = run_mcmc_sharded(
+        factory, data, z0, key, mesh, data_axis="data",
+        algorithm="hmc", num_leapfrog=8, step_size=0.05,
+        num_warmup=20, num_samples=20,
+    )
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    assert float(res.accept_prob.mean()) > 0.2

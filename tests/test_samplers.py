@@ -1,0 +1,147 @@
+# -*- coding: utf-8 -*-
+"""Sampler tests: exact-moment checks on Gaussian targets (MC-error bounded),
+GP posterior integration, ADVI, SMC on a multimodal target, diagnostics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import george_tpu as george
+from george_tpu import kernels
+from george_tpu.samplers import (
+    build_gp_log_prob, run_mcmc, summary, effective_sample_size, split_rhat,
+)
+from george_tpu.samplers.advi import run_advi
+from george_tpu.samplers.smc import run_smc
+
+
+A = np.array([[2.0, 0.6], [0.6, 1.0]])
+A_INV = np.linalg.inv(A)
+MU = np.array([1.0, -2.0])
+
+
+def gaussian_log_prob(z):
+    d = z - MU
+    return -0.5 * d @ A_INV @ d
+
+
+def test_nuts_gaussian_moments():
+    key = jax.random.PRNGKey(0)
+    z0 = jax.random.normal(key, (16, 2))
+    res = run_mcmc(gaussian_log_prob, z0, key,
+                   num_warmup=400, num_samples=500)
+    s = summary(res.samples)
+    assert np.all(np.abs(np.asarray(s["mean"]) - MU) < 0.05)
+    assert np.all(
+        np.abs(np.asarray(s["std"]) - np.sqrt(np.diag(A))) < 0.05
+    )
+    assert np.all(np.asarray(s["rhat"]) < 1.02)
+    assert float(res.diverging.mean()) < 0.01
+    # The adapted diagonal mass should approach the target variances.
+    assert np.all(np.abs(np.asarray(res.inv_mass) - np.diag(A)) < 0.5)
+
+
+def test_hmc_gaussian_moments():
+    key = jax.random.PRNGKey(1)
+    z0 = jax.random.normal(key, (16, 2))
+    res = run_mcmc(gaussian_log_prob, z0, key, algorithm="hmc",
+                   num_leapfrog=16, num_warmup=300, num_samples=500)
+    s = summary(res.samples)
+    assert np.all(np.abs(np.asarray(s["mean"]) - MU) < 0.08)
+    assert np.all(
+        np.abs(np.asarray(s["std"]) - np.sqrt(np.diag(A))) < 0.08
+    )
+
+
+def test_dense_mass_correlated_target():
+    # With a dense mass matrix the sampler should decorrelate the target.
+    key = jax.random.PRNGKey(2)
+    z0 = jax.random.normal(key, (8, 2))
+    res = run_mcmc(gaussian_log_prob, z0, key, dense_mass=True,
+                   num_warmup=400, num_samples=400)
+    s = summary(res.samples)
+    assert np.all(np.abs(np.asarray(s["mean"]) - MU) < 0.08)
+    # Adapted dense inverse mass approaches the target covariance.
+    assert np.allclose(np.asarray(res.inv_mass), A, atol=0.6)
+
+
+def test_gp_posterior_nuts(seed=42, N=32):
+    np.random.seed(seed)
+    x = np.sort(np.random.uniform(0, 10, N))
+    yerr = 0.1 * np.ones(N)
+    gp = george.GP(1.0 * kernels.Matern32Kernel(1.0))
+    y = gp.sample(x) + yerr * np.random.randn(N)
+
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+    # The pure density must agree with the stateful GP API.
+    gp.compute(x, yerr)
+    assert np.allclose(float(log_prob(theta0)), gp.log_likelihood(y))
+
+    key = jax.random.PRNGKey(0)
+    z0 = theta0 + 0.05 * jax.random.normal(key, (4, len(theta0)))
+    res = run_mcmc(log_prob, z0, key, num_warmup=150, num_samples=150,
+                   max_depth=8)
+    s = summary(res.samples)
+    assert np.all(np.isfinite(np.asarray(s["mean"])))
+    assert np.all(np.asarray(s["rhat"]) < 1.1)
+    # Posterior should concentrate near the generating parameters.
+    assert np.all(np.abs(np.asarray(s["mean"]) - np.asarray(theta0)) < 1.5)
+
+
+def test_gp_posterior_gradient_matches_api(seed=11, N=24):
+    # d log_prob / d theta must equal GP.grad_log_likelihood.
+    np.random.seed(seed)
+    x = np.sort(np.random.uniform(0, 8, N))
+    yerr = 0.2 * np.ones(N)
+    gp = george.GP(
+        0.5 * kernels.ExpSquaredKernel(1.2),
+        white_noise=np.log(1e-3), fit_white_noise=True,
+    )
+    y = gp.sample(x) + yerr * np.random.randn(N)
+    gp.compute(x, yerr)
+
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+    g_pure = np.asarray(jax.grad(log_prob)(theta0))
+    g_api = gp.grad_log_likelihood(y)
+    assert np.allclose(g_pure, g_api, rtol=1e-8, atol=1e-10)
+
+
+def test_advi_gaussian():
+    key = jax.random.PRNGKey(3)
+    res = run_advi(gaussian_log_prob, jnp.zeros(2), key, num_steps=1500)
+    assert np.all(np.abs(np.asarray(res.mean) - MU) < 0.1)
+    # Mean-field stds are <= the marginal stds for correlated targets.
+    assert np.all(np.exp(np.asarray(res.log_std))
+                  <= np.sqrt(np.diag(A)) + 0.05)
+    assert np.asarray(res.elbo)[-100:].std() < 2.0
+
+
+def test_smc_bimodal():
+    # Equal-weight mixture of two well-separated modes: SMC must populate
+    # both (the quasi-periodic multimodality scenario).
+    centers = jnp.array([-4.0, 4.0])
+
+    def log_target(z):
+        comps = -0.5 * (z[0] - centers) ** 2 / 0.25
+        return jax.nn.logsumexp(comps) - 0.5 * z[1:] @ z[1:]
+
+    def log_init(z):
+        return -0.5 * jnp.sum(z * z / 100.0)
+
+    key = jax.random.PRNGKey(4)
+    p0 = 10.0 * jax.random.normal(key, (4000, 2))
+    res = run_smc(log_target, log_init, p0, key, num_mutations=10)
+    frac_right = float(jnp.mean(res.particles[:, 0] > 0))
+    assert 0.3 < frac_right < 0.7, "SMC lost a mode"
+    assert int(res.num_stages) < 50
+    assert np.isfinite(float(res.log_evidence))
+
+
+def test_diagnostics_iid():
+    key = jax.random.PRNGKey(5)
+    samples = jax.random.normal(key, (4, 500, 3))
+    ess = np.asarray(effective_sample_size(samples))
+    rhat = np.asarray(split_rhat(samples))
+    assert np.all(ess > 1000), ess
+    assert np.all(np.abs(rhat - 1.0) < 0.02)
