@@ -25,12 +25,14 @@ def matern32_likelihood_factory(n=1000, seed=42):
 
     def log_like(theta):
         log_amp, log_tau, log_wn = theta
+        if np.any(np.abs(theta) > 20.0):
+            return -np.inf
         r = d * np.exp(-0.5 * log_tau) * np.sqrt(3.0)
         K = np.exp(log_amp) * (1.0 + r) * np.exp(-r)
         K[np.diag_indices_from(K)] += yerr ** 2 + np.exp(log_wn)
         try:
             factor = cho_factor(K, overwrite_a=True)
-        except np.linalg.LinAlgError:
+        except (np.linalg.LinAlgError, ValueError):
             return -np.inf
         logdet = 2.0 * np.sum(np.log(np.diag(factor[0])))
         return -0.5 * (
@@ -66,6 +68,10 @@ def stretch_move(log_like, theta0, n_walkers=32, n_steps=300, a=2.0,
 
 def ess(chain):
     """Bulk ESS (same estimator as george_tpu.samplers.diagnostics)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import jax
     jax.config.update("jax_platforms", "cpu")
     from george_tpu.samplers.diagnostics import effective_sample_size

@@ -1,0 +1,44 @@
+# -*- coding: utf-8 -*-
+"""Hyperparameter posteriors with in-framework NUTS.
+
+Replaces the reference's external emcee loop (docs/tutorials/hyper.rst)
+with vectorized NUTS: hundreds of chains, windowed adaptation, ESS/R-hat
+diagnostics — all on-device.
+"""
+import numpy as np
+import jax
+
+import george_tpu as george
+from george_tpu import kernels
+from george_tpu.samplers import build_gp_log_prob, run_mcmc, summary
+
+
+def main():
+    np.random.seed(1234)
+    n = 100
+    x = np.sort(np.random.uniform(0, 10, n))
+    yerr = 0.1 * np.ones(n)
+    truth = george.GP(0.5 * kernels.Matern32Kernel(1.5))
+    y = truth.sample(x) + yerr * np.random.randn(n)
+
+    gp = george.GP(
+        1.0 * kernels.Matern32Kernel(1.0),
+        white_noise=np.log(1e-4), fit_white_noise=True,
+    )
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+
+    key = jax.random.PRNGKey(0)
+    z0 = theta0 + 0.1 * jax.random.normal(key, (64, len(theta0)))
+    res = run_mcmc(log_prob, z0, key, num_warmup=400, num_samples=400)
+
+    stats = summary(res.samples)
+    names = gp.get_parameter_names()
+    for i, name in enumerate(names):
+        print("{0:28s} mean={1:+.3f} std={2:.3f} ess={3:.0f} rhat={4:.3f}"
+              .format(name, float(stats["mean"][i]), float(stats["std"][i]),
+                      float(stats["ess"][i]), float(stats["rhat"][i])))
+    print("divergence fraction:", float(res.diverging.mean()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+# -*- coding: utf-8 -*-
+"""Auxiliary subsystems: checkpoint/resume, profiling helpers, and the
+Pallas covariance kernel (interpret mode on CPU)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from george_tpu.checkpoint import save_checkpoint, restore_checkpoint, \
+    sampler_state
+from george_tpu.profiling import timeit, annotate
+from george_tpu.samplers.hmc import HMCState
+
+
+def test_checkpoint_round_trip(tmp_path):
+    state = sampler_state(
+        states=HMCState(
+            z=jnp.arange(6.0).reshape(2, 3),
+            logp=jnp.array([1.0, 2.0]),
+            grad=jnp.ones((2, 3)),
+        ),
+        key=jax.random.PRNGKey(7),
+        step_size=jnp.asarray(0.3),
+        inv_mass=jnp.ones(3),
+    )
+    path = os.path.join(str(tmp_path), "ckpt.pkl")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, target=state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    assert isinstance(restored["chain_states"], HMCState)
+
+
+def test_timeit_and_annotate():
+    @jax.jit
+    def f(x):
+        return x * 2.0
+
+    with annotate("test-region"):
+        seconds = timeit(f, jnp.ones(16), repeats=2, warmup=1)
+    assert seconds >= 0.0
+
+
+class _InterpretPallas:
+    """Force pallas_call into interpret mode for CPU testing."""
+
+    def __enter__(self):
+        from jax.experimental import pallas as pl
+        import george_tpu.ops.pallas_cov as pc
+
+        self._orig = pl.pallas_call
+
+        def interp(*args, **kwargs):
+            kwargs.setdefault("interpret", True)
+            return self._orig(*args, **kwargs)
+
+        pc.pl.pallas_call = interp
+        return self
+
+    def __exit__(self, *exc):
+        import george_tpu.ops.pallas_cov as pc
+
+        pc.pl.pallas_call = self._orig
+
+
+@pytest.mark.parametrize("name,nparams", [
+    ("ExpSquaredKernel", 0),
+    ("Matern32Kernel", 0),
+    ("RationalQuadraticKernel", 1),
+])
+def test_pallas_cov_forward_and_vjp(name, nparams):
+    from george_tpu.dsl import compiler
+    from george_tpu.ops import pallas_cov
+
+    radial = compiler._radial_fn(name, ())
+    rng = np.random.default_rng(0)
+    A1 = jnp.asarray(rng.standard_normal((90, 2)), jnp.float32)
+    A2 = jnp.asarray(rng.standard_normal((70, 2)), jnp.float32)
+    p = jnp.full((nparams,), 0.3, jnp.float32)
+
+    with _InterpretPallas():
+        cov = pallas_cov.make_stationary_cov(radial, ndim=2,
+                                             nparams=nparams)
+
+        K = np.asarray(cov(p, A1, A2))
+        r2 = jnp.sum((A1[:, None, :] - A2[None, :, :]) ** 2, -1)
+        K0 = np.asarray(radial(p, r2))
+        assert np.allclose(K, K0, atol=1e-5)
+
+        def loss_pallas(p, A1, A2):
+            return jnp.sum(jnp.sin(cov(p, A1, A2)))
+
+        def loss_ref(p, A1, A2):
+            r2 = jnp.sum((A1[:, None, :] - A2[None, :, :]) ** 2, -1)
+            return jnp.sum(jnp.sin(radial(p, r2)))
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(p, A1, A2)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(p, A1, A2)
+        for a, b in zip(g1, g2):
+            if a.size:
+                scale = max(1.0, float(jnp.abs(b).max()))
+                assert np.allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3 * scale)
