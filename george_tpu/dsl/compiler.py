@@ -25,6 +25,7 @@ r2 = 0 for the Matern and Exp families.  The DSL's other ``grad`` entries are
 used as golden cross-checks in the test suite.
 """
 
+import importlib
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Tuple, Union
@@ -96,6 +97,12 @@ def _compile_scalar_fn(spec, constants, xargs, body):
     lines.append("    return ({0})".format(body))
     namespace = dict(_NAMESPACE)
     namespace.update(constants)
+    # The analog of the reference DSL's `includes:` C++ headers
+    # (templates/kernels.h:8-12): pull extra callables into scope.
+    for imp in getattr(spec, "imports", ()):
+        module_path, _, attr = imp.partition(":")
+        module = importlib.import_module(module_path)
+        namespace[attr] = getattr(module, attr)
     exec("\n".join(lines), namespace)
     return namespace["_kernel_fn"]
 
@@ -294,8 +301,37 @@ def _value_builder(node: Node):
     if node.stationary:
         radial = _radial_fn(node.name, node.constants)
 
+        def metric_transform(mp, X):
+            """Columns transformed so that r2 = |a1 - a2|^2."""
+            A = _gather_axes(X, axes)
+            if node.metric_type == 0:
+                return A * jnp.exp(-0.5 * mp[0])
+            if node.metric_type == 1:
+                return A * jnp.exp(-0.5 * mp)
+            L = _unpack_cholesky(mp, len(axes))
+            return solve_triangular(L, A.T, lower=True).T
+
+        def use_pallas(X1, X2):
+            from .. import config
+            if config.pallas_covariance == "never" or node.blocked:
+                return False
+            if jax.default_backend() != "tpu":
+                return False
+            if config.pallas_covariance == "always":
+                return True
+            big = X1.shape[0] * X2.shape[0] >= config.pallas_min_elements
+            return big and X1.dtype == jnp.float32
+
         def value(theta, X1, X2):
             p, mp = theta[:node.nparams], theta[node.nparams:]
+            if use_pallas(X1, X2):
+                from ..ops import pallas_cov
+                cov = pallas_cov.make_stationary_cov(
+                    radial, len(axes), node.nparams
+                )
+                return cov(
+                    p, metric_transform(mp, X1), metric_transform(mp, X2)
+                )
             r2 = metric_r2_matrix(
                 node.metric_type, len(axes), mp,
                 _gather_axes(X1, axes), _gather_axes(X2, axes),

@@ -33,6 +33,11 @@ _SEARCH_PATHS = [
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "kernels"),
 ]
+# Extra spec directories (colon-separated), e.g. for installed deployments
+# or user kernel libraries.
+_ENV_PATH = os.environ.get("GEORGE_TPU_KERNEL_PATH")
+if _ENV_PATH:
+    _SEARCH_PATHS.extend(_ENV_PATH.split(":"))
 
 
 @dataclass(frozen=True)
@@ -47,6 +52,7 @@ class KernelSpec:
     reparams: Tuple[Tuple[str, str], ...] = ()   # (name, expression)
     value: str = "0.0"
     grad: Tuple[Tuple[str, str], ...] = ()       # (wrt, expression)
+    imports: Tuple[str, ...] = ()                # "module.path:name" extras
     doc: str = ""
 
     @property
@@ -84,6 +90,7 @@ def _parse_spec(raw: dict, origin: str) -> KernelSpec:
         grad=tuple(sorted(
             (k, str(v).strip()) for k, v in (raw.get("grad", {}) or {}).items()
         )),
+        imports=tuple(raw.get("imports", []) or []),
         doc=str(raw.get("doc", "")),
     )
 
