@@ -59,16 +59,18 @@ def main():
         key, (num_chains, dim), jnp.asarray(theta0).dtype
     )
 
-    # Compile (cached) with a tiny run, then time the real one.
+    # Blocked execution keeps each device invocation bounded (the tunneled
+    # backend kills very long single executions).  Compile once with a tiny
+    # segmented run, then time the real one.
+    opts = dict(num_warmup=num_warmup, num_samples=num_samples,
+                max_depth=8, block_size=20)
     t_compile = time.time()
-    run_mcmc(log_prob, z0, key, num_warmup=num_warmup,
-             num_samples=num_samples, max_depth=8).samples.block_until_ready()
+    run_mcmc(log_prob, z0, key, **dict(opts, num_warmup=20,
+                                       num_samples=20))
     t_compile = time.time() - t_compile
     t0 = time.time()
-    res = run_mcmc(log_prob, z0, jax.random.PRNGKey(1),
-                   num_warmup=num_warmup, num_samples=num_samples,
-                   max_depth=8)
-    res.samples.block_until_ready()
+    res = run_mcmc(log_prob, z0, jax.random.PRNGKey(1), **opts)
+    np.asarray(res.samples)
     elapsed = time.time() - t0
 
     ess = np.asarray(effective_sample_size(res.samples))

@@ -4,11 +4,19 @@
 Chains are a batch dimension handled by ``vmap`` — hundreds to thousands per
 chip.  Adaptation statistics (mean accept prob, Welford moments) pool across
 the chain batch, and across the device mesh when ``axis_name`` is set (the
-driver then runs inside ``shard_map``; see george_tpu.parallel).  The whole
-warmup and sampling loops are ``lax.scan``s inside one jit.
+driver then runs inside ``shard_map``; see george_tpu.parallel).
+
+Execution comes in two shapes:
+
+  * one fused program (``block_size=None``): the whole warmup and sampling
+    loops are ``lax.scan``s inside a single jit — maximum fusion, right for
+    short runs and for wrapping in ``shard_map``;
+  * blocked (``block_size=k``): the same scans split into bounded segments
+    re-invoked from the host — keeps each device execution short (tunneled
+    or preemptible backends), enables progress/checkpoint hooks between
+    blocks, identical math and identical RNG stream.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np
@@ -39,17 +47,19 @@ def _cross_mean(x, axis_name):
     return m
 
 
-def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
-                   num_samples=500, algorithm="nuts", target_accept=0.8,
-                   max_depth=10, num_leapfrog=32, dense_mass=False,
-                   step_size=None, axis_name=None, adapt_mass=True):
-    """Build the traceable warmup+sampling program ``core(z0, key)``.
+class _Pieces(NamedTuple):
+    """Traceable building blocks shared by both execution shapes."""
 
-    The returned function is pure and traceable — wrap it in ``jit`` (done by
-    :func:`run_mcmc`) or in ``shard_map`` over a chain-sharded mesh (done by
-    :func:`george_tpu.parallel.run_mcmc_sharded`, passing ``axis_name`` so
-    the adaptation statistics pool across devices with psum/pmean).
-    """
+    chain_init: object
+    init_step_size: object
+    warm_step: object           # (carry, (in_win, win_end)) -> (carry, None)
+    draw_step: object           # (carry, _, eps, inv_mass) -> (carry, outs)
+    schedule: tuple             # (in_window, window_end) numpy arrays
+
+
+def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
+                  algorithm, target_accept, max_depth, num_leapfrog,
+                  dense_mass, axis_name, adapt_mass):
     vg = jax.value_and_grad(log_prob)
 
     if algorithm == "nuts":
@@ -65,120 +75,231 @@ def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
 
     v_kernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
 
-    in_window, window_end = adapt.build_schedule(num_warmup)
-    in_window = jnp.asarray(in_window)
-    window_end = jnp.asarray(window_end)
+    def chain_init(z):
+        logp, grad = vg(z)
+        return HMCState(z, logp, grad)
 
+    def init_step_size(states, inv_mass, key):
+        state0 = jax.tree_util.tree_map(lambda s: s[0], states)
+        return adapt.find_reasonable_step_size(vg, state0, inv_mass, key)
+
+    def warm_step(carry, inputs):
+        states, da, welford, inv_mass, key = carry
+        in_win, win_end = inputs
+        key, sub = jax.random.split(key)
+        step_keys = jax.random.split(sub, num_chains)
+        eps = jnp.exp(da.log_step)
+        states, info = v_kernel(step_keys, states, eps, inv_mass)
+
+        da = adapt.da_update(
+            da, _cross_mean(info.accept_prob, axis_name),
+            target=target_accept,
+        )
+
+        if adapt_mass:
+            updated = adapt.welford_update_batch(
+                welford, states.z, axis_name=axis_name
+            )
+            welford = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(in_win, new, old),
+                updated, welford,
+            )
+            new_mass = adapt.welford_variance(welford)
+            inv_mass = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(win_end, new, old),
+                new_mass, inv_mass,
+            )
+            # Reset the accumulator and re-center the step size search at
+            # each window boundary (Stan's scheme).
+            welford = jax.tree_util.tree_map(
+                lambda w, z: jnp.where(win_end, z, w),
+                welford,
+                adapt.welford_init(dim, dense=dense_mass, dtype=dtype),
+            )
+            da = jax.tree_util.tree_map(
+                lambda fresh, old: jnp.where(win_end, fresh, old),
+                adapt.da_init(jnp.exp(da.log_step)), da,
+            )
+        return (states, da, welford, inv_mass, key), None
+
+    def draw_step(carry, _, eps, inv_mass):
+        states, key = carry
+        key, sub = jax.random.split(key)
+        step_keys = jax.random.split(sub, num_chains)
+        states, info = v_kernel(step_keys, states, eps, inv_mass)
+        out = (states.z, states.logp, info.accept_prob,
+               info.diverging, info.n_leapfrog)
+        return (states, key), out
+
+    schedule = adapt.build_schedule(num_warmup)
+    return _Pieces(chain_init, init_step_size, warm_step, draw_step,
+                   schedule)
+
+
+def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
+                   num_samples=500, algorithm="nuts", target_accept=0.8,
+                   max_depth=10, num_leapfrog=32, dense_mass=False,
+                   step_size=None, axis_name=None, adapt_mass=True):
+    """Build the traceable single-program ``core(z0, key)``.
+
+    Wrap in ``jit`` (as :func:`run_mcmc` does) or in ``shard_map`` over a
+    chain-sharded mesh (:func:`george_tpu.parallel.run_mcmc_sharded`,
+    passing ``axis_name`` so adaptation pools across devices).
+    """
+    pieces = _build_pieces(
+        log_prob, num_chains, dim, dtype, num_warmup, algorithm,
+        target_accept, max_depth, num_leapfrog, dense_mass, axis_name,
+        adapt_mass,
+    )
+    in_window = jnp.asarray(pieces.schedule[0])
+    window_end = jnp.asarray(pieces.schedule[1])
     init_inv_mass = (
         jnp.eye(dim, dtype=dtype) if dense_mass
         else jnp.ones(dim, dtype=dtype)
     )
 
-    def chain_init(z):
-        logp, grad = vg(z)
-        return HMCState(z, logp, grad)
-
     def core(z0, key):
-        states = jax.vmap(chain_init)(z0)
+        states = jax.vmap(pieces.chain_init)(z0)
         key, key_eps, key_warm, key_main = jax.random.split(key, 4)
 
         if step_size is None:
-            state0 = jax.tree_util.tree_map(lambda s: s[0], states)
-            eps0 = adapt.find_reasonable_step_size(
-                vg, state0, init_inv_mass, key_eps
-            )
+            eps0 = pieces.init_step_size(states, init_inv_mass, key_eps)
         else:
             eps0 = jnp.asarray(step_size, dtype)
 
         da = adapt.da_init(eps0)
         welford = adapt.welford_init(dim, dense=dense_mass, dtype=dtype)
-
-        def warm_step(carry, inputs):
-            states, da, welford, inv_mass, key = carry
-            in_win, win_end = inputs
-            key, sub = jax.random.split(key)
-            step_keys = jax.random.split(sub, num_chains)
-            eps = jnp.exp(da.log_step)
-            states, info = v_kernel(step_keys, states, eps, inv_mass)
-
-            da = adapt.da_update(
-                da, _cross_mean(info.accept_prob, axis_name),
-                target=target_accept,
-            )
-
-            if adapt_mass:
-                updated = adapt.welford_update_batch(
-                    welford, states.z, axis_name=axis_name
-                )
-                welford = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(in_win, new, old),
-                    updated, welford,
-                )
-                new_mass = adapt.welford_variance(welford)
-                inv_mass = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(win_end, new, old),
-                    new_mass, inv_mass,
-                )
-                # Reset the accumulator and re-center the step size search
-                # at each window boundary (Stan's scheme).
-                welford = jax.tree_util.tree_map(
-                    lambda w, z: jnp.where(win_end, z, w),
-                    welford,
-                    adapt.welford_init(dim, dense=dense_mass, dtype=dtype),
-                )
-                da = jax.tree_util.tree_map(
-                    lambda fresh, old: jnp.where(win_end, fresh, old),
-                    adapt.da_init(jnp.exp(da.log_step)), da,
-                )
-            return (states, da, welford, inv_mass, key), None
-
         carry = (states, da, welford, init_inv_mass, key_warm)
         if num_warmup > 0:
             carry, _ = jax.lax.scan(
-                warm_step, carry, (in_window, window_end)
+                pieces.warm_step, carry, (in_window, window_end)
             )
         states, da, _, inv_mass, _ = carry
-        eps = jnp.where(num_warmup > 0, jnp.exp(da.log_step_avg), eps0)
+        eps = jnp.exp(da.log_step_avg) if num_warmup > 0 else eps0
 
         def draw(carry, _):
-            states, key = carry
-            key, sub = jax.random.split(key)
-            step_keys = jax.random.split(sub, num_chains)
-            states, info = v_kernel(step_keys, states, eps, inv_mass)
-            out = (states.z, states.logp, info.accept_prob,
-                   info.diverging, info.n_leapfrog)
-            return (states, key), out
+            return pieces.draw_step(carry, _, eps, inv_mass)
 
-        (states, _), (zs, logps, accs, divs, nleap) = jax.lax.scan(
+        (states, _), outs = jax.lax.scan(
             draw, (states, key_main), None, length=num_samples
         )
-        return MCMCResult(
-            samples=jnp.swapaxes(zs, 0, 1),
-            log_prob=jnp.swapaxes(logps, 0, 1),
-            accept_prob=jnp.swapaxes(accs, 0, 1),
-            diverging=jnp.swapaxes(divs, 0, 1),
-            n_leapfrog=jnp.swapaxes(nleap, 0, 1),
-            step_size=eps,
-            inv_mass=inv_mass,
-        )
+        return _pack_result(outs, eps, inv_mass, stacked_first=True)
 
     return core
 
 
-def run_mcmc(log_prob, z0, key, **kwargs):
+def _pack_result(outs, eps, inv_mass, stacked_first):
+    zs, logps, accs, divs, nleap = outs
+    swap = (lambda a: jnp.swapaxes(a, 0, 1)) if stacked_first \
+        else (lambda a: np.swapaxes(a, 0, 1))
+    return MCMCResult(
+        samples=swap(zs),
+        log_prob=swap(logps),
+        accept_prob=swap(accs),
+        diverging=swap(divs),
+        n_leapfrog=swap(nleap),
+        step_size=eps,
+        inv_mass=inv_mass,
+    )
+
+
+def _run_blocked(pieces, z0, key, num_warmup, num_samples, block_size,
+                 step_size, dense_mass, dim, dtype, progress=None):
+    """Host-orchestrated execution in bounded jitted segments."""
+    in_window, window_end = pieces.schedule
+    init_inv_mass = (
+        jnp.eye(dim, dtype=dtype) if dense_mass
+        else jnp.ones(dim, dtype=dtype)
+    )
+
+    states = jax.jit(jax.vmap(pieces.chain_init))(z0)
+    key, key_eps, key_warm, key_main = jax.random.split(key, 4)
+
+    if step_size is None:
+        eps0 = jax.jit(pieces.init_step_size)(
+            states, init_inv_mass, key_eps
+        )
+    else:
+        eps0 = jnp.asarray(step_size, dtype)
+
+    warm_block = jax.jit(
+        lambda carry, flags: jax.lax.scan(pieces.warm_step, carry, flags)[0]
+    )
+
+    da = adapt.da_init(eps0)
+    welford = adapt.welford_init(dim, dense=dense_mass, dtype=dtype)
+    carry = (states, da, welford, init_inv_mass, key_warm)
+    for start in range(0, num_warmup, block_size):
+        stop = min(start + block_size, num_warmup)
+        flags = (jnp.asarray(in_window[start:stop]),
+                 jnp.asarray(window_end[start:stop]))
+        carry = warm_block(carry, flags)
+        if progress:
+            jax.tree_util.tree_leaves(carry)[0].block_until_ready()
+            progress("warmup", stop, num_warmup)
+    states, da, _, inv_mass, _ = carry
+    eps = jnp.exp(da.log_step_avg) if num_warmup > 0 else eps0
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(3,))
+    def draw_block(carry, eps, inv_mass, n):
+        return jax.lax.scan(
+            lambda c, _: pieces.draw_step(c, _, eps, inv_mass),
+            carry, None, length=n,
+        )
+
+    carry = (states, key_main)
+    collected = []
+    done = 0
+    while done < num_samples:
+        n = min(block_size, num_samples - done)
+        carry, outs = draw_block(carry, eps, inv_mass, n)
+        collected.append(jax.tree_util.tree_map(np.asarray, outs))
+        done += n
+        if progress:
+            progress("sampling", done, num_samples)
+    outs = tuple(
+        np.concatenate([c[i] for c in collected], axis=0)
+        for i in range(5)
+    )
+    return _pack_result(outs, eps, inv_mass, stacked_first=False)
+
+
+def run_mcmc(log_prob, z0, key, num_warmup=500, num_samples=500,
+             algorithm="nuts", target_accept=0.8, max_depth=10,
+             num_leapfrog=32, dense_mass=False, step_size=None,
+             adapt_mass=True, block_size=None, progress=None):
     """Run warmup + sampling for a batch of chains on one device.
 
     :param log_prob: traceable scalar density of one parameter vector.
     :param z0: (chains, dim) initial positions.
     :param key: PRNG key (one; chain keys are split internally).
+    :param block_size: if set, execute in host-driven segments of this many
+        transitions (bounded device executions; progress callbacks).
     :returns: :class:`MCMCResult` with per-chain draws and diagnostics.
 
-    Keyword options: num_warmup, num_samples, algorithm ("nuts"/"hmc"),
-    target_accept, max_depth, num_leapfrog, dense_mass, step_size,
-    adapt_mass.  For multi-device chain sharding use
+    For multi-device chain sharding use
     :func:`george_tpu.parallel.run_mcmc_sharded`.
     """
     z0 = jnp.asarray(z0)
     num_chains, dim = z0.shape
-    core = make_mcmc_core(log_prob, num_chains, dim, z0.dtype, **kwargs)
-    return jax.jit(core)(z0, jnp.asarray(key))
+    if block_size is None:
+        core = make_mcmc_core(
+            log_prob, num_chains, dim, z0.dtype, num_warmup=num_warmup,
+            num_samples=num_samples, algorithm=algorithm,
+            target_accept=target_accept, max_depth=max_depth,
+            num_leapfrog=num_leapfrog, dense_mass=dense_mass,
+            step_size=step_size, adapt_mass=adapt_mass,
+        )
+        return jax.jit(core)(z0, jnp.asarray(key))
+
+    pieces = _build_pieces(
+        log_prob, num_chains, dim, z0.dtype, num_warmup, algorithm,
+        target_accept, max_depth, num_leapfrog, dense_mass, None,
+        adapt_mass,
+    )
+    return _run_blocked(
+        pieces, z0, jnp.asarray(key), num_warmup, num_samples, block_size,
+        step_size, dense_mass, dim, z0.dtype, progress=progress,
+    )
