@@ -20,9 +20,11 @@ jit/vmap/shard_map-able), see :func:`george_tpu.samplers.build_gp_log_prob`.
 import warnings
 
 import numpy as np
+import jax.numpy as jnp
 from scipy.linalg import LinAlgError
 
 from . import kernels
+from .dsl import compiler
 from .modeling import ModelSet, ConstantModel
 from .ops import linalg
 from .solvers import TrivialSolver, BasicSolver
@@ -378,6 +380,44 @@ class GP(ModelSet):
         cov = kernel.get_value(xs)
         cov -= np.dot(Kxs, KinvKxs)
         return mu, cov
+
+    def predictor(self, y):
+        """Build a fast repeated-prediction closure for fixed training data.
+
+        Returns ``f(t, return_var=True) -> (mu, var)`` where the cross-
+        covariance, solve, and variance run as one jitted program per test
+        shape.  The serving-path complement to :meth:`predict` (which
+        mirrors the reference's stateful host flow).
+        """
+        self.recompute()
+        alpha = jnp.asarray(self._compute_alpha(y, True))
+        node = self.kernel.spec_node()
+        theta = jnp.asarray(self.kernel.get_parameter_vector(
+            include_frozen=True
+        ))
+        x_train = jnp.asarray(self._x)
+        L = getattr(self.solver, "_factor", None)
+        if L is None:
+            raise NotImplementedError(
+                "predictor() requires a dense-factor solver"
+            )
+        value = linalg.predict_fn(node)
+        diag_fn = compiler.kernel_diag_fn(node)
+
+        def predict_fast(t, return_var=True):
+            xs = np.ascontiguousarray(
+                self.parse_samples(t), dtype=np.float64
+            )
+            mu, Kxs, KinvKxs = value(theta, x_train, L, alpha, xs)
+            mu = np.asarray(mu) + self._call_mean(xs)
+            if not return_var:
+                return mu
+            var = np.asarray(diag_fn(theta, xs, xs)) - np.asarray(
+                jnp.sum(Kxs * KinvKxs.T, axis=1)
+            )
+            return mu, var
+
+        return predict_fast
 
     def sample_conditional(self, y, t, size=1):
         """Draw samples from the predictive conditional distribution."""
