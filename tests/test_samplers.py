@@ -145,3 +145,24 @@ def test_diagnostics_iid():
     rhat = np.asarray(split_rhat(samples))
     assert np.all(ess > 1000), ess
     assert np.all(np.abs(rhat - 1.0) < 0.02)
+
+
+def test_blocked_execution_matches_fused():
+    # block_size must not change the math or the RNG stream.
+    key = jax.random.PRNGKey(9)
+    z0 = jax.random.normal(key, (8, 2))
+    kwargs = dict(num_warmup=120, num_samples=80)
+    r1 = run_mcmc(gaussian_log_prob, z0, key, **kwargs)
+    r2 = run_mcmc(gaussian_log_prob, z0, key, block_size=30, **kwargs)
+    assert np.allclose(np.asarray(r1.samples), np.asarray(r2.samples))
+    assert np.allclose(float(r1.step_size), float(r2.step_size))
+
+
+def test_progress_callback():
+    events = []
+    key = jax.random.PRNGKey(10)
+    z0 = jax.random.normal(key, (4, 2))
+    run_mcmc(gaussian_log_prob, z0, key, num_warmup=40, num_samples=40,
+             block_size=20, progress=lambda *a: events.append(a))
+    assert ("warmup", 40, 40) in events
+    assert ("sampling", 40, 40) in events
