@@ -164,10 +164,12 @@ def _aca_fn(node, rank):
             i_cur = jnp.argmax(scores)
             return U, V, used, i_cur, norm2, scale, done
 
-        U, V, _, _, _, _, _ = jax.lax.fori_loop(
+        U, V, _, _, _, _, done = jax.lax.fori_loop(
             0, rank, body, (U, V, used, i_cur, norm2, scale, done)
         )
-        return U, V
+        # Not converged within the rank cap: the block's numerical rank
+        # exceeds the budget (typical for high-dimensional inputs).
+        return U, V, ~done
 
     @jax.jit
     def aca(theta, Xl, Xr, ml, mr, tol):
@@ -267,10 +269,20 @@ def hodlr_compute(node, theta, x, diag_noise, min_size=100, tol=0.1,
         shaped = x_pad.reshape(1 << q, 2, m, d)
         vq = valid.reshape(1 << q, 2, m)
         rank = min(m, max_rank) if max_rank else _rank_cap(tol, m)
-        U, V = _aca_fn(node, rank)(
+        U, V, saturated = _aca_fn(node, rank)(
             theta, shaped[:, 0], shaped[:, 1], vq[:, 0], vq[:, 1],
             jnp.asarray(tol, x.dtype),
         )
+        if bool(np.any(np.asarray(saturated))):
+            import warnings
+            warnings.warn(
+                "HODLR off-diagonal blocks at level {0} did not reach "
+                "tol={1} within the rank cap {2}; results are approximate. "
+                "Raise max_rank=, loosen tol, or sort the inputs "
+                "(nd_sort_samples) for better compression.".format(
+                    q, tol, rank
+                )
+            )
         fact.level_U0.append(U)
         fact.level_V0.append(V)
         # Start the transform with the raw factors; the sweep below applies

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import george_tpu as george
+from george_tpu.utils import nd_sort_samples
 from george_tpu import kernels, TrivialSolver, BasicSolver, HODLRSolver
 
 
@@ -89,3 +90,42 @@ def test_solver_consistency_large(N=2000, seed=4321):
     ll_hodlr = gp_hodlr.log_likelihood(y)
 
     assert np.allclose(ll_basic, ll_hodlr)
+
+
+def test_hodlr_multidim_with_sorting(N=600, seed=99, ndim=3):
+    # Multi-dimensional inputs ordered by nd_sort_samples keep the HODLR
+    # off-diagonal blocks low-rank (the reference's recipe, utils.py:36-56).
+    np.random.seed(seed)
+    x = np.random.randn(N, ndim)
+    x = x[nd_sort_samples(x)]
+    yerr = 0.3 * np.ones(N)
+    y = np.sin(x.sum(axis=1))
+
+    kernel = 1.0 * kernels.ExpSquaredKernel(2.0, ndim=ndim)
+    # High-dimensional blocks barely compress (the reference documents the
+    # same limitation, docs/user/solvers.rst:41-44): the default rank cap
+    # saturates with a warning, and max_rank= buys the accuracy back.
+    import warnings as _warnings
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        solver = HODLRSolver(kernel, tol=1e-10, min_size=64)
+        solver.compute(x, yerr)
+    assert any("rank cap" in str(w.message) for w in caught)
+
+    solver = HODLRSolver(kernel, tol=1e-10, min_size=64, max_rank=180)
+    solver.compute(x, yerr)
+    K = kernel.get_value(x)
+    K[np.diag_indices_from(K)] += yerr ** 2
+    _, lndet = np.linalg.slogdet(K)
+    assert abs(solver.log_determinant - lndet) < 1e-3
+    b0 = np.linalg.solve(K, y)
+    assert np.allclose(solver.apply_inverse(y), b0, atol=1e-3)
+
+
+def test_compute_required_error():
+    gp = george.GP(kernels.ExpSquaredKernel(1.0))
+    import pytest
+    with pytest.raises(RuntimeError):
+        gp.recompute()
+    with pytest.raises(ValueError):
+        gp.parse_samples(np.zeros((3, 2)))  # wrong ndim
