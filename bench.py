@@ -18,9 +18,10 @@ import time
 import numpy as np
 
 # Measured by benchmarks/reference_baseline.py on this round's host CPU:
-# N=1000 Matern32+wn, 32 walkers x 300 stretch-move steps -> min bulk ESS
-# 85.8 over 228.7 s (42.0 likelihood evals/s).  Regenerate with that script.
-REFERENCE_ESS_PER_S = 0.375
+# N=1000 Matern32+wn (+ the same Gaussian prior as below), 32 walkers x 300
+# stretch-move steps -> min bulk ESS 100.5 over 235.0 s (40.9 likelihood
+# evals/s).  Regenerate with that script.
+REFERENCE_ESS_PER_S = 0.428
 
 
 def main():
@@ -39,8 +40,8 @@ def main():
 
     n = 1000
     num_chains = 16
-    num_warmup = 200
-    num_samples = 200
+    num_warmup = 150
+    num_samples = 150
 
     rng = np.random.default_rng(42)
     x = np.sort(rng.uniform(0, 10, n))
@@ -51,7 +52,17 @@ def main():
         1.0 * kernels.Matern32Kernel(1.0),
         white_noise=np.log(1e-4), fit_white_noise=True,
     )
-    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+    # Weakly-informative Gaussian prior (sigma=2 in log space) around the
+    # initial parameters: without it the log-white-noise direction is an
+    # improper flat tail to -inf and no sampler mixes.  The CPU reference
+    # baseline uses the identical prior.
+    center = jnp.asarray(gp.get_parameter_vector())
+
+    def log_prior(theta):
+        return -0.5 * jnp.sum(((theta - center) / 2.0) ** 2)
+
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr,
+                                         log_prior=log_prior)
     dim = theta0.shape[0]
 
     key = jax.random.PRNGKey(0)
@@ -62,11 +73,17 @@ def main():
     # Blocked execution keeps each device invocation bounded (the tunneled
     # backend kills very long single executions).  Compile once with a tiny
     # segmented run, then time the real one.
+    import sys
+
+    def progress(phase, done, total):
+        print("{0} {1}/{2}".format(phase, done, total), file=sys.stderr,
+              flush=True)
+
     opts = dict(num_warmup=num_warmup, num_samples=num_samples,
-                max_depth=8, block_size=20)
+                max_depth=6, block_size=25, progress=progress)
     t_compile = time.time()
-    run_mcmc(log_prob, z0, key, **dict(opts, num_warmup=20,
-                                       num_samples=20))
+    run_mcmc(log_prob, z0, key, **dict(opts, num_warmup=25,
+                                       num_samples=25))
     t_compile = time.time() - t_compile
     t0 = time.time()
     res = run_mcmc(log_prob, z0, jax.random.PRNGKey(1), **opts)

@@ -23,10 +23,14 @@ def matern32_likelihood_factory(n=1000, seed=42):
     y = np.sin(x) + yerr * rng.standard_normal(n)
     d = np.abs(x[:, None] - x[None, :])
 
+    center = np.array([0.0, 0.0, np.log(1e-4)])
+
     def log_like(theta):
         log_amp, log_tau, log_wn = theta
         if np.any(np.abs(theta) > 20.0):
             return -np.inf
+        # Same weakly-informative Gaussian prior as bench.py.
+        lp = -0.5 * np.sum(((theta - center) / 2.0) ** 2)
         r = d * np.exp(-0.5 * log_tau) * np.sqrt(3.0)
         K = np.exp(log_amp) * (1.0 + r) * np.exp(-r)
         K[np.diag_indices_from(K)] += yerr ** 2 + np.exp(log_wn)
@@ -35,7 +39,7 @@ def matern32_likelihood_factory(n=1000, seed=42):
         except (np.linalg.LinAlgError, ValueError):
             return -np.inf
         logdet = 2.0 * np.sum(np.log(np.diag(factor[0])))
-        return -0.5 * (
+        return lp - 0.5 * (
             n * np.log(2 * np.pi) + logdet + y @ cho_solve(factor, y)
         )
 
