@@ -9,8 +9,13 @@ BasicSolver compute path) on the current backend.
 
 import argparse
 import json
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
@@ -47,11 +52,14 @@ def main():
 
     factor = linalg.factor_fn(node)
 
-    def run():
-        L, logdet = factor(theta, x_dev, d_dev)
+    def run(bump=0.0):
+        L, logdet = factor(theta, x_dev, d_dev + bump)
         return logdet
 
-    seconds = timeit(run, repeats=args.repeats, warmup=1)
+    # Vary the noise diagonal per call: some backends memoize executions
+    # with identical inputs, which would time as ~0.
+    seconds = timeit(run, repeats=args.repeats, warmup=1,
+                     vary=lambda i: {"bump": 1e-7 * (i + 2)})
     logdet = float(run())
     flops = n ** 3 / 3.0
     print(json.dumps({

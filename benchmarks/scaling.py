@@ -8,8 +8,13 @@ HODLR solvers.  Emits one JSON line per (solver, N).
 
 import argparse
 import json
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
@@ -43,16 +48,18 @@ def main():
                 continue  # O(N^3) dense beyond this is pointless here
             x, yerr, y = x_all[:n], yerr_all[:n], y_all[:n]
 
-            def run():
+            def run(bump=0.0):
+                # bump defeats execution memoization on remote backends
                 if solver_name == "basic":
                     gp = george.GP(kernel)
                 else:
                     gp = george.GP(kernel, solver=george.HODLRSolver,
                                    tol=0.1, seed=42)
-                gp.compute(x, yerr)
+                gp.compute(x, yerr + bump)
                 return gp.log_likelihood(y)
 
-            seconds = timeit(run, repeats=args.repeats, warmup=1)
+            seconds = timeit(run, repeats=args.repeats, warmup=1,
+                             vary=lambda i: {"bump": 1e-9 * (i + 2)})
             print(json.dumps({
                 "solver": solver_name,
                 "n": n,

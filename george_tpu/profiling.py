@@ -39,19 +39,37 @@ def annotate(name):
 
 
 def _block(out):
+    """Synchronize on every output.
+
+    ``block_until_ready`` alone is unreliable on some remote/tunneled
+    backends; a host transfer of (an element of) each result is a hard
+    synchronization point everywhere.
+    """
+    import numpy as _np
+
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "block_until_ready"):
             leaf.block_until_ready()
+        if hasattr(leaf, "shape"):
+            if leaf.size <= (1 << 20):
+                _np.asarray(leaf)
+            else:
+                _np.asarray(leaf[(0,) * leaf.ndim])
     return out
 
 
-def timeit(fn, *args, repeats=5, warmup=1, **kwargs):
-    """Best-of-``repeats`` synchronized wall-clock seconds for ``fn``."""
-    for _ in range(warmup):
-        _block(fn(*args, **kwargs))
+def timeit(fn, *args, repeats=5, warmup=1, vary=None, **kwargs):
+    """Best-of-``repeats`` synchronized wall-clock seconds for ``fn``.
+
+    Some backends memoize executions with identical input buffers; pass
+    ``vary`` (an int -> extra-kwargs dict) to perturb each call.
+    """
+    extra = (lambda i: {}) if vary is None else vary
+    for i in range(warmup):
+        _block(fn(*args, **dict(kwargs, **extra(-1 - i))))
     best = float("inf")
-    for _ in range(repeats):
+    for i in range(repeats):
         t0 = time.perf_counter()
-        _block(fn(*args, **kwargs))
+        _block(fn(*args, **dict(kwargs, **extra(i))))
         best = min(best, time.perf_counter() - t0)
     return best
