@@ -71,6 +71,7 @@ def _fwd_kernel(ndim, radial, p_ref, x1_ref, x2_ref, out_ref):
 def _bwd_kernel(ndim, radial, nparams, p_ref, x1_ref, x2_ref, g_ref,
                 dp_ref, da1_ref):
     """Per-(i, j) tile: dp partials and the dA1 row-block accumulation."""
+    i_id = pl.program_id(0)
     j = pl.program_id(1)
     r2 = _r2_tile(x1_ref, x2_ref, ndim)
     g = g_ref[:]
@@ -78,13 +79,22 @@ def _bwd_kernel(ndim, radial, nparams, p_ref, x1_ref, x2_ref, g_ref,
     p = p_ref[:]
     # Parameter gradient: contract cotangent with d radial / d p_i.  The
     # radial fn is a closed JAX function, so jax.grad at trace time just
-    # emits more VPU ops into this kernel.
+    # emits more VPU ops into this kernel.  The partials accumulate into a
+    # single (8, 128) VMEM block shared by every grid step (the TPU grid is
+    # sequential, so revisiting the block accumulates in place).
+    dp_row = jnp.zeros((8, 128), jnp.float32)
     for i in range(nparams):
         gp = jax.grad(
             lambda pi, rr: jnp.sum(radial(p.at[i].set(pi), rr) * g),
             argnums=0,
         )(p[i], r2)
-        dp_ref[0, i] = gp
+        dp_row = dp_row.at[0, i].set(gp)
+
+    @pl.when((i_id == 0) & (j == 0))
+    def _():
+        dp_ref[:] = jnp.zeros_like(dp_ref)
+
+    dp_ref[:] += dp_row
 
     # Input gradient via W = g * radial'(r2):
     # dA1 = 2 (rowsum(W) * A1 - W @ A2)  — the matmul rides the MXU.
@@ -140,19 +150,17 @@ def _bwd_call(radial, ndim, nparams, p, A1t, A2t, g):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, max(nparams, 1)),
-                         lambda i, j: (i * grid[1] + j, 0),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ndim, TILE), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid[0] * grid[1], max(nparams, 1)),
-                                 jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
             jax.ShapeDtypeStruct((ndim, n1), jnp.float32),
         ],
     )(p, A1t, A2t, g)
-    return jnp.sum(dp_partials, axis=0)[:nparams], da1t
+    return dp_partials[0, :nparams], da1t
 
 
 def make_stationary_cov(radial, ndim, nparams):
