@@ -43,7 +43,8 @@ from jax.scipy.linalg import lu_factor, lu_solve
 
 from ..dsl import compiler
 
-__all__ = ["HODLRFactorization", "hodlr_compute", "hodlr_solve", "plan_tree"]
+__all__ = ["HODLRFactorization", "hodlr_compute", "hodlr_solve",
+           "hodlr_dot_solve", "plan_tree"]
 
 
 @dataclass
@@ -225,6 +226,87 @@ def _apply_level_inverse(U0, V0, Ut, Vt, S_lu, y):
     return jnp.stack([top, bot], axis=1).reshape(y.shape)
 
 
+@lru_cache(maxsize=None)
+def _compute_all_fn(node, levels, leaf_size, ranks):
+    """ONE fused XLA program for the entire factorization.
+
+    The reference's recursive compute (hodlr.h:75-103) maps to dozens of
+    small per-level device programs if executed eagerly; on a tunneled
+    backend each pays host round-trip latency.  Tracing the leaf build, the
+    per-level ACA, and the O(L^2) Woodbury transform sweep into a single
+    jitted program collapses that to one dispatch; the scalar diagnostics
+    (logdet, saturation flag) come back in one 2-element stats array so the
+    host synchronizes exactly once.
+    """
+    leaf_factor = _leaf_factor_fn(node)
+    aca_fns = [_aca_fn(node, r) for r in ranks]
+
+    @jax.jit
+    def compute(theta, x_pad, diag_pad, valid, tol):
+        n_pad, d = x_pad.shape
+        n_leaf = 1 << levels
+
+        xb = x_pad.reshape(n_leaf, leaf_size, d)
+        db = diag_pad.reshape(n_leaf, leaf_size)
+        vb = valid.reshape(n_leaf, leaf_size)
+        leaf_chol, logdet = leaf_factor(theta, xb, db, vb)
+
+        # Off-diagonal factors per level (deepest blocks are smallest).
+        U0s, V0s, Uts, Vts = [], [], [], []
+        saturated = jnp.zeros((), bool)
+        for q in range(levels):
+            m = n_pad >> (q + 1)
+            shaped = x_pad.reshape(1 << q, 2, m, d)
+            vq = valid.reshape(1 << q, 2, m)
+            U, V, sat = aca_fns[q](
+                theta, shaped[:, 0], shaped[:, 1], vq[:, 0], vq[:, 1], tol
+            )
+            saturated = saturated | jnp.any(sat)
+            U0s.append(U)
+            V0s.append(V)
+            # The transform sweep below applies the leaf inverse and the
+            # deeper levels' Woodbury inverses to these.
+            Uts.append(U)
+            Vts.append(V)
+
+        # U factors live on left-child ranges and V factors on right-child
+        # ranges, so per level they interleave into one full-height matrix.
+        def _to_full(Uq, Vq):
+            nodes_q, m, r = Uq.shape
+            return jnp.stack([Uq, Vq], axis=1).reshape(n_pad, r)
+
+        def _from_full(Z, shape):
+            nodes_q, m, r = shape
+            Z = Z.reshape(nodes_q, 2, m, r)
+            return Z[:, 0], Z[:, 1]
+
+        # Transform sweep: leaf inverses first, then deepest -> shallowest.
+        for q in range(levels):
+            shape = Uts[q].shape
+            Z = _leaf_solve(leaf_chol, _to_full(Uts[q], Vts[q]))
+            Uts[q], Vts[q] = _from_full(Z, shape)
+
+        S_lus = [None] * levels
+        for q in range(levels - 1, -1, -1):
+            S_lu, ld = _level_couplings(U0s[q], V0s[q], Uts[q], Vts[q])
+            S_lus[q] = S_lu
+            logdet = logdet + ld
+            for p in range(q):
+                shape = Uts[p].shape
+                Z = _apply_level_inverse(
+                    U0s[q], V0s[q], Uts[q], Vts[q], S_lu,
+                    _to_full(Uts[p], Vts[p]),
+                )
+                Uts[p], Vts[p] = _from_full(Z, shape)
+
+        stats = jnp.stack(
+            [logdet, saturated.astype(logdet.dtype)]
+        )
+        return leaf_chol, U0s, V0s, Uts, Vts, S_lus, stats
+
+    return compute
+
+
 def hodlr_compute(node, theta, x, diag_noise, min_size=100, tol=0.1,
                   seed=42, max_rank=None):
     """Compute the HODLR factorization of K(x, x) + diag(diag_noise).
@@ -240,96 +322,53 @@ def hodlr_compute(node, theta, x, diag_noise, min_size=100, tol=0.1,
     n, d = x.shape
 
     levels, n_pad, leaf_size = plan_tree(n, min_size)
-    n_leaf = 1 << levels
 
     pad = n_pad - n
     x_pad = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad, d))])
     diag_pad = jnp.concatenate([diag_noise, jnp.ones(pad, x.dtype)])
     valid = jnp.arange(n_pad) < n
 
-    fact = HODLRFactorization(
-        n=n, n_pad=n_pad, levels=levels, leaf_size=leaf_size,
-        leaf_chol=None,
+    ranks = tuple(
+        min(n_pad >> (q + 1), max_rank) if max_rank
+        else _rank_cap(tol, n_pad >> (q + 1))
+        for q in range(levels)
     )
 
-    # Leaves: batched masked build + Cholesky.
-    xb = x_pad.reshape(n_leaf, leaf_size, d)
-    db = diag_pad.reshape(n_leaf, leaf_size)
-    vb = valid.reshape(n_leaf, leaf_size)
-    leaf_chol, logdet = _leaf_factor_fn(node)(theta, xb, db, vb)
-    fact.leaf_chol = leaf_chol
-    logdet = float(logdet)
-    if not np.isfinite(logdet):
-        from scipy.linalg import LinAlgError
-        raise LinAlgError("HODLR leaf factorization failed (not PD?)")
+    leaf_chol, U0s, V0s, Uts, Vts, S_lus, stats = _compute_all_fn(
+        node, levels, leaf_size, ranks
+    )(theta, x_pad, diag_pad, valid, jnp.asarray(tol, x.dtype))
 
-    # Off-diagonal factors per level (deepest blocks are smallest).
-    for q in range(levels):
-        m = n_pad >> (q + 1)
-        shaped = x_pad.reshape(1 << q, 2, m, d)
-        vq = valid.reshape(1 << q, 2, m)
-        rank = min(m, max_rank) if max_rank else _rank_cap(tol, m)
-        U, V, saturated = _aca_fn(node, rank)(
-            theta, shaped[:, 0], shaped[:, 1], vq[:, 0], vq[:, 1],
-            jnp.asarray(tol, x.dtype),
+    stats = np.asarray(stats)  # the single host<->device synchronization
+    logdet = float(stats[0])
+    if stats[1] != 0.0:
+        import warnings
+        warnings.warn(
+            "HODLR off-diagonal blocks did not reach tol={0} within the "
+            "rank caps {1}; results are approximate.  Raise max_rank=, "
+            "loosen tol, or sort the inputs (nd_sort_samples) for better "
+            "compression.".format(tol, ranks)
         )
-        if bool(np.any(np.asarray(saturated))):
-            import warnings
-            warnings.warn(
-                "HODLR off-diagonal blocks at level {0} did not reach "
-                "tol={1} within the rank cap {2}; results are approximate. "
-                "Raise max_rank=, loosen tol, or sort the inputs "
-                "(nd_sort_samples) for better compression.".format(
-                    q, tol, rank
-                )
-            )
-        fact.level_U0.append(U)
-        fact.level_V0.append(V)
-        # Start the transform with the raw factors; the sweep below applies
-        # the leaf inverse and the deeper levels' Woodbury inverses.
-        fact.level_Ut.append(U)
-        fact.level_Vt.append(V)
-        fact.level_S_lu.append(None)
-
-    # Transform sweep: leaf inverses first, then deepest -> shallowest.
-    # U factors live on left-child ranges and V factors on right-child
-    # ranges, so per level they interleave into one full-height matrix.
-    def _to_full(Uq, Vq):
-        nodes_q, m, r = Uq.shape
-        return jnp.stack([Uq, Vq], axis=1).reshape(n_pad, r)
-
-    def _from_full(Z, shape):
-        nodes_q, m, r = shape
-        Z = Z.reshape(nodes_q, 2, m, r)
-        return Z[:, 0], Z[:, 1]
-
-    for q in range(levels):
-        shape = fact.level_Ut[q].shape
-        Z = _to_full(fact.level_Ut[q], fact.level_Vt[q])
-        Z = _leaf_solve(leaf_chol, Z)
-        fact.level_Ut[q], fact.level_Vt[q] = _from_full(Z, shape)
-
-    for q in range(levels - 1, -1, -1):
-        S_lu, ld = _level_couplings(
-            fact.level_U0[q], fact.level_V0[q],
-            fact.level_Ut[q], fact.level_Vt[q],
-        )
-        fact.level_S_lu[q] = S_lu
-        logdet += float(ld)
-        for p in range(q):
-            shape = fact.level_Ut[p].shape
-            Z = _to_full(fact.level_Ut[p], fact.level_Vt[p])
-            Z = _apply_level_inverse(
-                fact.level_U0[q], fact.level_V0[q],
-                fact.level_Ut[q], fact.level_Vt[q], S_lu, Z,
-            )
-            fact.level_Ut[p], fact.level_Vt[p] = _from_full(Z, shape)
-
     if not np.isfinite(logdet):
         from scipy.linalg import LinAlgError
         raise LinAlgError("HODLR factorization failed (not PD?)")
-    fact.log_determinant = logdet
-    return fact
+
+    return HODLRFactorization(
+        n=n, n_pad=n_pad, levels=levels, leaf_size=leaf_size,
+        leaf_chol=leaf_chol, level_U0=U0s, level_V0=V0s,
+        level_Ut=Uts, level_Vt=Vts, level_S_lu=S_lus,
+        log_determinant=logdet,
+    )
+
+
+@jax.jit
+def _solve_all(leaf_chol, U0s, V0s, Uts, Vts, S_lus, z):
+    """One fused program: blockdiag(leaf)^-1 then every level's F_q^{-1}."""
+    z = _leaf_solve(leaf_chol, z)
+    for q in range(len(U0s) - 1, -1, -1):
+        z = _apply_level_inverse(
+            U0s[q], V0s[q], Uts[q], Vts[q], S_lus[q], z
+        )
+    return z
 
 
 def hodlr_solve(fact, y):
@@ -342,11 +381,33 @@ def hodlr_solve(fact, y):
     z = jnp.concatenate(
         [y, jnp.zeros((pad, y.shape[1]), y.dtype)], axis=0
     )
-    z = _leaf_solve(fact.leaf_chol, z)
-    for q in range(fact.levels - 1, -1, -1):
-        z = _apply_level_inverse(
-            fact.level_U0[q], fact.level_V0[q],
-            fact.level_Ut[q], fact.level_Vt[q], fact.level_S_lu[q], z,
-        )
+    z = _solve_all(
+        fact.leaf_chol, fact.level_U0, fact.level_V0,
+        fact.level_Ut, fact.level_Vt, fact.level_S_lu, z,
+    )
     z = z[:fact.n]
     return z[:, 0] if single else z
+
+
+@jax.jit
+def _dot_solve_all(leaf_chol, U0s, V0s, Uts, Vts, S_lus, z, n):
+    """y^T K^-1 y fused with the solve — only a scalar leaves the device."""
+    valid = jnp.arange(z.shape[0]) < n
+    out = _solve_all(leaf_chol, U0s, V0s, Uts, Vts, S_lus, z)
+    return jnp.sum(jnp.where(valid[:, None], z * out, 0.0))
+
+
+def hodlr_dot_solve(fact, y):
+    """``y^T K^{-1} y`` without transferring the solve back to the host."""
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    pad = fact.n_pad - fact.n
+    z = jnp.concatenate(
+        [y, jnp.zeros((pad, y.shape[1]), y.dtype)], axis=0
+    )
+    return _dot_solve_all(
+        fact.leaf_chol, fact.level_U0, fact.level_V0,
+        fact.level_Ut, fact.level_Vt, fact.level_S_lu, z,
+        fact.n,
+    )

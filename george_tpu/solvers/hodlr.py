@@ -62,6 +62,9 @@ class HODLRSolver(BasicSolver):
 
     def dot_solve(self, y):
         y = np.asarray(y)
+        if y.ndim <= 1:
+            # Fused on device: only the scalar comes back to the host.
+            return float(hodlr_core.hodlr_dot_solve(self._fact, y))
         out = np.asarray(y.T @ hodlr_core.hodlr_solve(self._fact, y))
         return float(out) if out.ndim == 0 else out
 
