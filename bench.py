@@ -38,10 +38,11 @@ def main():
     from george_tpu.samplers import build_gp_log_prob, run_mcmc
     from george_tpu.samplers.diagnostics import effective_sample_size
 
-    n = 1000
-    num_chains = 16
-    num_warmup = 150
-    num_samples = 150
+    import os
+    n = int(os.environ.get("BENCH_N", 1000))
+    num_chains = int(os.environ.get("BENCH_CHAINS", 16))
+    num_warmup = int(os.environ.get("BENCH_WARMUP", 150))
+    num_samples = int(os.environ.get("BENCH_SAMPLES", 150))
 
     rng = np.random.default_rng(42)
     x = np.sort(rng.uniform(0, 10, n))

@@ -27,15 +27,39 @@ class HODLRSolver(BasicSolver):
         deterministic, so results are reproducible with or without it.
     :param max_rank: optional hard cap on the per-block rank (defaults to a
         cap derived from ``tol``).
+    :param order: internal point ordering: ``"auto"`` (default; recursive
+        KD median splits via the native runtime — makes off-diagonal blocks
+        low-rank for multi-dimensional or unsorted inputs), ``"kd"``,
+        ``"hilbert"``, ``"distance"`` (the reference's nd_sort_samples), or
+        ``None`` to factor in user order like the reference does.  The
+        permutation is applied and undone internally, so results are
+        identical up to approximation quality.
     """
 
     def __init__(self, kernel, min_size=100, tol=0.1, seed=42,
-                 max_rank=None):
+                 max_rank=None, order="auto"):
         self.min_size = min_size
         self.tol = tol
         self.seed = seed
         self.max_rank = max_rank
+        self.order = order
         super(HODLRSolver, self).__init__(kernel)
+
+    def _ordering(self, x):
+        from .. import utils
+
+        order = "kd" if self.order == "auto" else self.order
+        if order in (None, "none"):
+            return None
+        fn = {
+            "kd": utils.kd_sort_samples,
+            "hilbert": utils.hilbert_sort_samples,
+            "distance": utils.nd_sort_samples,
+        }[order]
+        perm = np.asarray(fn(x))
+        if np.array_equal(perm, np.arange(x.shape[0])):
+            return None
+        return perm
 
     def compute(self, x, yerr):
         x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float64)
@@ -43,6 +67,11 @@ class HODLRSolver(BasicSolver):
             x = x.T
         diag_noise = np.asarray(yerr, dtype=np.float64) ** 2
         diag_noise = np.broadcast_to(diag_noise, (x.shape[0],))
+        self._perm = self._ordering(x)
+        if self._perm is not None:
+            x = x[self._perm]
+            diag_noise = diag_noise[self._perm]
+            self._inv_perm = np.argsort(self._perm)
         node = self.kernel.spec_node()
         theta = self.kernel.get_parameter_vector(include_frozen=True)
         self._fact = hodlr_core.hodlr_compute(
@@ -54,7 +83,12 @@ class HODLRSolver(BasicSolver):
         self.computed = True
 
     def apply_inverse(self, y, in_place=False):
-        result = np.array(hodlr_core.hodlr_solve(self._fact, np.asarray(y)))
+        z = np.asarray(y)
+        if self._perm is not None:
+            z = z[self._perm]
+        result = np.array(hodlr_core.hodlr_solve(self._fact, z))
+        if self._perm is not None:
+            result = result[self._inv_perm]
         if in_place and isinstance(y, np.ndarray) and y.shape == result.shape:
             y[...] = result
             return y
@@ -62,6 +96,9 @@ class HODLRSolver(BasicSolver):
 
     def dot_solve(self, y):
         y = np.asarray(y)
+        if self._perm is not None:
+            # y^T K^-1 y = (Py)^T (P K P^T)^-1 (Py): permutation-invariant.
+            y = y[self._perm]
         if y.ndim <= 1:
             # Fused on device: only the scalar comes back to the host.
             return float(hodlr_core.hodlr_dot_solve(self._fact, y))
@@ -74,15 +111,15 @@ class HODLRSolver(BasicSolver):
         )
 
     def get_inverse(self):
-        n = self._fact.n
-        return np.array(
-            hodlr_core.hodlr_solve(self._fact, np.eye(n))
-        )
+        # apply_inverse handles the internal permutation: K^-1 = K^-1 @ I.
+        return self.apply_inverse(np.eye(self._fact.n))
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_computed"] = False
         state.pop("_fact", None)
+        state.pop("_perm", None)
+        state.pop("_inv_perm", None)
         return state
 
     def __setstate__(self, state):

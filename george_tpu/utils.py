@@ -5,11 +5,14 @@ API-compatible with /root/reference/src/george/utils.py.
 """
 
 import numpy as np
-from scipy.spatial import cKDTree
+
+from . import native
 
 __all__ = [
     "multivariate_gaussian_samples",
     "nd_sort_samples",
+    "kd_sort_samples",
+    "hilbert_sort_samples",
     "numerical_gradient",
     "check_gradient",
 ]
@@ -24,15 +27,32 @@ def multivariate_gaussian_samples(matrix, N, mean=None):
 
 
 def nd_sort_samples(samples):
-    """Order N-d samples by distance from the first sample via a KD-tree.
+    """Order N-d samples by distance from the first sample.
 
-    Used to make multi-dimensional inputs friendlier to hierarchical
-    (HODLR-style) solvers, which want nearby points adjacent in index space.
+    Semantics of the reference's cKDTree ``query(samples[0], k=N)``
+    (utils.py:36-56): a sort by distance from the first sample.  Runs in the
+    native (C++) ordering runtime when available.  For hierarchical solvers
+    prefer :func:`kd_sort_samples`, whose median splits align with the HODLR
+    level structure.
     """
     assert len(samples.shape) == 2
-    tree = cKDTree(samples)
-    _, inds = tree.query(samples[0], k=len(samples))
-    return inds
+    return native.distance_order(samples)
+
+
+def kd_sort_samples(samples):
+    """Recursive median-split ordering — the best HODLR point ordering.
+
+    Splits at n/2 on the widest-spread axis so that every level of the HODLR
+    halving separates two spatial clusters (low-rank off-diagonal blocks).
+    """
+    assert len(samples.shape) == 2
+    return native.kd_order(samples)
+
+
+def hilbert_sort_samples(samples, bits=16):
+    """Hilbert space-filling-curve ordering of N-d samples."""
+    assert len(samples.shape) == 2
+    return native.hilbert_order(samples, bits=bits)
 
 
 def numerical_gradient(f, x, dx=1.234e-6):
