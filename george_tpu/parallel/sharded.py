@@ -35,7 +35,9 @@ from ..samplers.mcmc import make_mcmc_core, MCMCResult
 __all__ = ["run_mcmc_sharded", "make_sharded_gp_log_prob_factory"]
 
 
-def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data"):
+def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
+                                     distributed_cholesky=False,
+                                     block_size=256):
     """Build a factory for data-sharded GP log-probs.
 
     Returns ``(factory, (x, y, yerr2))`` where the arrays are the *global*
@@ -43,6 +45,11 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data"):
     ``factory(x_local, y_local, yerr2_local) -> log_prob`` constructs the
     local log-density inside ``shard_map``, using an ``all_gather`` over
     ``data_axis`` to assemble covariance stripes.
+
+    With ``distributed_cholesky=True`` the O(N^3) factorization itself runs
+    sharded (blocked panel Cholesky + psum substitutions — see
+    :mod:`george_tpu.parallel.dist_chol`); K never materializes on one
+    device.  Requires N/P divisible by ``block_size``.
     """
     x_host = np.ascontiguousarray(gp.parse_samples(x), dtype=np.float64)
     y_host = np.asarray(y, dtype=np.float64)
@@ -62,6 +69,30 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data"):
     lo, hi = _bounds_arrays(gp)
     n_total = x_host.shape[0]
     norm_const = 0.5 * n_total * np.log(2.0 * np.pi)
+
+    if distributed_cholesky:
+        from .dist_chol import distributed_loglike_fn
+
+        dist_ll = distributed_loglike_fn(
+            kernel_value, mean_fn, wn_fn, n_total,
+            axis_name=data_axis, block_size=block_size,
+        )
+
+        def factory(x_local, y_local, yerr2_local):
+            def log_prob(theta_active):
+                theta = theta_full0.at[unfrozen].set(theta_active)
+                in_bounds = jnp.all((theta >= lo) & (theta <= hi))
+                ll = dist_ll(
+                    theta[n_mean + n_wn:], theta[:n_mean],
+                    theta[n_mean:n_mean + n_wn],
+                    x_local, y_local, yerr2_local,
+                )
+                lp = jnp.where(in_bounds, ll, -jnp.inf)
+                return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+            return log_prob
+
+        return factory, (x_host, y_host, yerr2)
 
     def factory(x_local, y_local, yerr2_local):
         def log_prob(theta_active):
@@ -99,7 +130,14 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data"):
             alpha = cho_solve(L, r)
             ll = -norm_const - 0.5 * (logdet + jnp.dot(r, alpha))
             lp = jnp.where(in_bounds, ll, -jnp.inf)
-            return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+            lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+            # Identical on every device, but vma-typed varying (built from
+            # gathers).  pmean makes it invariant and — the important part —
+            # makes jax.grad correct: the transpose psums the per-device
+            # partial theta-cotangents.  Without it (check_vma=False) HMC on
+            # the data-sharded path silently used one device's partial
+            # gradient.
+            return jax.lax.pmean(lp, data_axis)
 
         return log_prob
 
@@ -162,6 +200,9 @@ def run_mcmc_sharded(log_prob_factory, data, z0, key, mesh,
         mesh=mesh,
         in_specs=(P(chain_axis), P()) + data_spec,
         out_specs=out_specs,
-        check_vma=False,
+        # vma tracking ON: it is what guarantees collective transposes (and
+        # therefore the per-chain gradients inside the sampler) are correct
+        # when the likelihood itself is data-sharded.
+        check_vma=True,
     )
     return jax.jit(fn)(z0, jnp.asarray(key), *data)

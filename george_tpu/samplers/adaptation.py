@@ -179,6 +179,13 @@ def find_reasonable_step_size(value_and_grad, state, inv_mass, key,
         factor = jnp.where(going_up, 2.0, 0.5)
         return eps * factor, i + 1
 
-    eps, _ = jax.lax.while_loop(cond, body, (eps0, jnp.zeros((), jnp.int32)))
+    from .._vma import pvary_like
+
+    # Under shard_map the loop values vary per device (they depend on the
+    # local chain state); the carry must be typed accordingly up front.
+    carry0 = pvary_like(
+        (eps0, jnp.zeros((), jnp.int32)), state, key, inv_mass
+    )
+    eps, _ = jax.lax.while_loop(cond, body, carry0)
     # One step back on the way up so the accept prob ends >= target.
     return jnp.where(going_up, eps * 0.5, eps)

@@ -81,7 +81,12 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
 
     def init_step_size(states, inv_mass, key):
         state0 = jax.tree_util.tree_map(lambda s: s[0], states)
-        return adapt.find_reasonable_step_size(vg, state0, inv_mass, key)
+        eps = adapt.find_reasonable_step_size(vg, state0, inv_mass, key)
+        if axis_name is not None:
+            # Each device probed its own first chain; agree on one step so
+            # sharded chains keep a single pooled dual-averaging state.
+            eps = jax.lax.pmean(eps, axis_name)
+        return eps
 
     def warm_step(carry, inputs):
         states, da, welford, inv_mass, key = carry

@@ -248,6 +248,11 @@ def nuts_step(key, state, value_and_grad, step_size, inv_mass,
             key=key,
         )
 
+    from .._vma import pvary_like
+
+    # shard_map vma discipline: the zero-initialized counters/flags must be
+    # typed varying like the chain state before entering the loop.
+    st = pvary_like(st, st, key, step_size, inv_mass)
     st = jax.lax.while_loop(lambda s: ~s.done, body, st)
 
     new_state = HMCState(st.z_prop, st.logp_prop, st.grad_prop)
