@@ -40,9 +40,10 @@ def main():
 
     import os
     n = int(os.environ.get("BENCH_N", 1000))
-    num_chains = int(os.environ.get("BENCH_CHAINS", 16))
+    num_chains = int(os.environ.get("BENCH_CHAINS", 256))
     num_warmup = int(os.environ.get("BENCH_WARMUP", 150))
-    num_samples = int(os.environ.get("BENCH_SAMPLES", 150))
+    num_samples = int(os.environ.get("BENCH_SAMPLES", 300))
+    block = int(os.environ.get("BENCH_BLOCK", 5))
 
     rng = np.random.default_rng(42)
     x = np.sort(rng.uniform(0, 10, n))
@@ -81,10 +82,10 @@ def main():
               flush=True)
 
     opts = dict(num_warmup=num_warmup, num_samples=num_samples,
-                max_depth=6, block_size=25, progress=progress)
+                max_depth=6, block_size=block, progress=progress)
     t_compile = time.time()
-    run_mcmc(log_prob, z0, key, **dict(opts, num_warmup=25,
-                                       num_samples=25))
+    run_mcmc(log_prob, z0, key, **dict(opts, num_warmup=block,
+                                       num_samples=block))
     t_compile = time.time() - t_compile
     t0 = time.time()
     res = run_mcmc(log_prob, z0, jax.random.PRNGKey(1), **opts)

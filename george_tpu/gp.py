@@ -277,11 +277,28 @@ class GP(ModelSet):
         node = self.kernel.spec_node()
         theta = self.kernel.get_parameter_vector(include_frozen=True)
         wn_vec = self._call_white_noise(self._x)
-        g_theta, g_wn_vec, alpha = (
-            np.asarray(v) for v in linalg.grad_core_fn(node)(
-                theta, wn_vec, self._x, r, self._yerr2
+
+        from .solvers.state_space import StateSpaceSolver
+        if isinstance(self.solver, StateSpaceSolver):
+            # O(N) reverse-mode pass through the Kalman filter instead of
+            # the O(N^2) dense core; sorted order in, original order out.
+            from .ops.state_space import state_space_grad_core_fn
+            order = self.solver._order
+            g_theta, g_wn_sorted, alpha_sorted = (
+                np.asarray(v) for v in state_space_grad_core_fn(node)(
+                    theta, wn_vec[order], self.solver._t, r[order],
+                    self._yerr2[order],
+                )
             )
-        )
+            inv = self.solver._inv_order
+            g_wn_vec = g_wn_sorted[inv]
+            alpha = alpha_sorted[inv]
+        else:
+            g_theta, g_wn_vec, alpha = (
+                np.asarray(v) for v in linalg.grad_core_fn(node)(
+                    theta, wn_vec, self._x, r, self._yerr2
+                )
+            )
 
         grad = np.empty(len(self))
         n = 0

@@ -1,0 +1,620 @@
+# -*- coding: utf-8 -*-
+"""Exact state-space (Kalman) GP likelihoods for 1-D kernels.
+
+The reference's two answers to large N are the dense Cholesky (O(N^3),
+solvers/basic.py) and the serial HODLR tree (O(N log^2 N), hodlr.h).  For
+one-dimensional inputs and the Markovian kernel families there is a third,
+*exact* representation the reference never exploits: the GP is the output of
+a linear time-invariant SDE, and the marginal likelihood is the Kalman
+prediction-error decomposition — O(N) work.  On TPU the filter additionally
+parallelizes in time via ``lax.associative_scan`` (the temporal
+parallelization of Bayesian filters of Särkkä & García-Fernández, IEEE TAC
+2021): O(log N) sequential depth of batched (d, d) matmuls, which is why
+this path is 1-2 orders of magnitude faster than the batched dense Cholesky
+inside a NUTS leapfrog at N=1k.
+
+Representable exactly (state dimension in parens):
+
+  * ``ExpKernel``      — Matern-1/2, Ornstein-Uhlenbeck (1)
+  * ``Matern32Kernel``  (2)
+  * ``Matern52Kernel``  (3)
+  * ``CosineKernel``   — undamped oscillator, Q = 0 (2)
+  * ``ConstantKernel`` — random offset, A = 1, Q = 0 (1)
+  * sums of the above (block-diagonal state stacking), and products with
+    constants (variance scaling)
+
+Everything else (ExpSquared, ExpSine2, RationalQuadratic, multi-dim inputs,
+general metrics, blocked kernels) raises ``StateSpaceUnsupported`` — callers
+fall back to the dense path.
+
+The discrete-time system is exact for irregular sampling: per-gap
+transitions ``A_i = expm(F dt_i)`` in closed form (the Matern F is
+``-lam*I + N`` with nilpotent N, so the series terminates), and process
+noise ``Q_i = Pinf - A_i Pinf A_i^T`` from stationarity.
+
+Matches the dense marginal likelihood (tests/test_state_space.py) to fp
+accuracy; derivative-free of any reference code (semantics cross-checked
+against solvers/basic.py likelihoods only).
+"""
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..dsl.compiler import Leaf, Op, node_size
+
+__all__ = [
+    "StateSpaceUnsupported", "extract_terms", "state_space_loglike_fn",
+    "supports_state_space",
+]
+
+
+class StateSpaceUnsupported(ValueError):
+    """Kernel tree has no exact finite-dimensional SDE representation."""
+
+
+# -- term extraction from the kernel expression tree -------------------------
+
+@dataclass(frozen=True)
+class _Term:
+    """Static descriptor: family + state dim + parameter slicing closure."""
+
+    family: str          # "matern0" | "matern1" | "matern2" | "cosine" | "const"
+    dim: int
+    # params(th_leaf) -> dict of dynamic scalars, captured at build time.
+
+
+_MATERN_C = {0: 1.0, 1: math.sqrt(3.0), 2: math.sqrt(5.0)}
+_MATERN_BY_NAME = {"ExpKernel": 0, "Matern32Kernel": 1, "Matern52Kernel": 2}
+
+
+def _leaf_terms(leaf: Leaf):
+    """One leaf -> (const_fn | None, [term dicts]).
+
+    Returned term dicts: {"family", "dim", "fn"} with ``fn(th) ->
+    (sigma2, rate)`` — ``rate`` is lambda for materns, omega for cosine,
+    unused for const.
+    """
+    if leaf.blocked:
+        raise StateSpaceUnsupported("blocked kernels are not Markovian")
+
+    if leaf.name == "EmptyKernel":
+        return None, []
+
+    if leaf.name == "ConstantKernel":
+        naxes = float(len(leaf.axes))
+
+        def cfn(th):
+            return naxes * jnp.exp(th[0])
+
+        return cfn, []
+
+    if leaf.name in _MATERN_BY_NAME:
+        p = _MATERN_BY_NAME[leaf.name]
+        if len(leaf.axes) != 1:
+            raise StateSpaceUnsupported("state-space path needs 1-D inputs")
+        if leaf.metric_type not in (0, 1):
+            raise StateSpaceUnsupported("general metrics are not separable")
+        c = _MATERN_C[p]
+
+        def fn(th, _c=c):
+            # r2 = tau^2 * exp(-log_M); sqrt(c^2 r2) = (c e^{-lm/2}) tau.
+            lam = _c * jnp.exp(-0.5 * th[0])
+            return jnp.ones(()), lam
+
+        return None, [dict(family="matern%d" % p, dim=p + 1, fn=fn)]
+
+    if leaf.name == "CosineKernel":
+        if len(leaf.axes) != 1:
+            raise StateSpaceUnsupported("state-space path needs 1-D inputs")
+
+        def fn(th):
+            omega = 2.0 * jnp.pi / jnp.exp(th[0])
+            return jnp.ones(()), omega
+
+        return None, [dict(family="cosine", dim=2, fn=fn)]
+
+    raise StateSpaceUnsupported(
+        "kernel '{0}' has no exact state-space form".format(leaf.name)
+    )
+
+
+def _shift(fn, off):
+    return lambda th: fn(th[off:])
+
+
+def _tree_terms(node):
+    """Recursive extraction: (const_fn | None, [terms])."""
+    if isinstance(node, Leaf):
+        return _leaf_terms(node)
+
+    n1 = node_size(node.k1)
+    c1, t1 = _tree_terms(node.k1)
+    c2, t2 = _tree_terms(node.k2)
+    t2 = [dict(t, fn=_shift(t["fn"], n1)) for t in t2]
+    if c2 is not None:
+        c2 = _shift(c2, n1)
+
+    if node.op == "sum":
+        # Constants become explicit random-offset terms when summed.
+        terms = list(t1) + list(t2)
+        for cf in (c1, c2):
+            if cf is not None:
+                terms.append(dict(
+                    family="const", dim=1,
+                    fn=(lambda th, _cf=cf: (_cf(th), jnp.zeros(()))),
+                ))
+        return None, terms
+
+    # product
+    if t1 and t2:
+        raise StateSpaceUnsupported(
+            "product of two dynamic kernels has no closed state-space form"
+        )
+    if not t1 and not t2:        # const * const
+        if c1 is None or c2 is None:
+            return None, []
+        return (lambda th: c1(th) * c2(th)), []
+    terms, scale = (t1, c2) if t1 else (t2, c1)
+    if scale is None:            # product with Empty -> zero kernel
+        return None, []
+    scaled = [
+        dict(t, fn=(lambda th, _f=t["fn"], _s=scale: (
+            _f(th)[0] * _s(th), _f(th)[1]
+        )))
+        for t in terms
+    ]
+    return None, scaled
+
+
+def extract_terms(node):
+    """Kernel tree -> list of state-space term descriptors (or raise)."""
+    cf, terms = _tree_terms(node)
+    if cf is not None:
+        terms = terms + [dict(
+            family="const", dim=1,
+            fn=(lambda th, _cf=cf: (_cf(th), jnp.zeros(()))),
+        )]
+    return terms
+
+
+def supports_state_space(node):
+    try:
+        extract_terms(node)
+        return True
+    except StateSpaceUnsupported:
+        return False
+
+
+# -- per-term discrete-time systems ------------------------------------------
+
+def _matern_system(p, sigma2, lam, dt):
+    """(A (M,d,d), Pinf (d,d)) for the Matern-(p+1/2) SDE.
+
+    F = -lam I + N with N nilpotent (single Jordan block), so
+    expm(F dt) = e^{-lam dt} sum_{k<=p} (N dt)^k / k! exactly.
+    """
+    d = p + 1
+    if p == 0:
+        A = jnp.exp(-lam * dt)[:, None, None]
+        Pinf = sigma2 * jnp.ones((1, 1), dt.dtype)
+        return A, Pinf
+
+    if p == 1:
+        lt = lam * dt
+        e = jnp.exp(-lt)
+        A = e[:, None, None] * jnp.stack([
+            jnp.stack([1.0 + lt, dt], axis=-1),
+            jnp.stack([-lam * lam * dt, 1.0 - lt], axis=-1),
+        ], axis=-2)
+        Pinf = sigma2 * jnp.diag(jnp.stack([
+            jnp.ones_like(lam), lam * lam
+        ]))
+        return A, Pinf
+
+    # p == 2: F companion of (s + lam)^3, N = F + lam I nilpotent (index 3):
+    #   N   = [[l, 1, 0], [0, l, 1], [-l^3, -3l^2, -2l]]
+    #   N^2 = [[l^2, 2l, 1], [-l^3, -2l^2, -l], [l^4, 2l^3, l^2]]
+    # A = e^{-l dt} (I + N dt + N^2 dt^2 / 2), expanded entrywise:
+    lt = lam * dt
+    e = jnp.exp(-lt)
+    l2 = lam * lam
+    one = jnp.ones_like(lt)
+    a00 = one + lt + 0.5 * lt * lt
+    a01 = dt * (1.0 + lt)
+    a02 = 0.5 * dt * dt
+    a10 = -0.5 * l2 * lam * dt * dt
+    a11 = one + lt - lt * lt
+    a12 = dt * (1.0 - 0.5 * lt)
+    a20 = l2 * lam * dt * (0.5 * lt - 1.0)
+    a21 = l2 * dt * (lt - 3.0)
+    a22 = one - 2.0 * lt + 0.5 * lt * lt
+    A = e[:, None, None] * jnp.stack([
+        jnp.stack([a00, a01, a02], axis=-1),
+        jnp.stack([a10, a11, a12], axis=-1),
+        jnp.stack([a20, a21, a22], axis=-1),
+    ], axis=-2)
+    kappa = l2 / 3.0
+    z = jnp.zeros_like(lam)
+    o = jnp.ones_like(lam)
+    Pinf = sigma2 * jnp.stack([
+        jnp.stack([o, z, -kappa], axis=-1),
+        jnp.stack([z, kappa, z], axis=-1),
+        jnp.stack([-kappa, z, l2 * l2], axis=-1),
+    ], axis=-2)
+    return A, Pinf
+
+
+def _cosine_system(sigma2, omega, dt):
+    wt = omega * dt
+    c, s = jnp.cos(wt), jnp.sin(wt)
+    A = jnp.stack([
+        jnp.stack([c, -s], axis=-1),
+        jnp.stack([s, c], axis=-1),
+    ], axis=-2)
+    Pinf = sigma2 * jnp.eye(2, dtype=dt.dtype)
+    return A, Pinf
+
+
+def _const_system(sigma2, dt):
+    A = jnp.ones((dt.shape[0], 1, 1), dt.dtype)
+    Pinf = sigma2 * jnp.ones((1, 1), dt.dtype)
+    return A, Pinf
+
+
+def _build_system(terms, th_kernel, dt):
+    """Block-diagonal (Phi (M,D,D), Pinf (D,D), H (D,)) over all terms."""
+    blocks_A, blocks_P, hs = [], [], []
+    for t in terms:
+        sigma2, rate = t["fn"](th_kernel)
+        if t["family"].startswith("matern"):
+            p = int(t["family"][-1])
+            A, Pinf = _matern_system(p, sigma2, rate, dt)
+        elif t["family"] == "cosine":
+            A, Pinf = _cosine_system(sigma2, rate, dt)
+        else:
+            A, Pinf = _const_system(sigma2, dt)
+        blocks_A.append(A)
+        blocks_P.append(Pinf)
+        h = np.zeros(t["dim"])
+        h[0] = 1.0
+        hs.append(h)
+
+    D = sum(t["dim"] for t in terms)
+    M = dt.shape[0]
+    Phi = jnp.zeros((M, D, D), dt.dtype)
+    Pinf = jnp.zeros((D, D), dt.dtype)
+    off = 0
+    for t, A, Pb in zip(terms, blocks_A, blocks_P):
+        d = t["dim"]
+        Phi = Phi.at[:, off:off + d, off:off + d].set(A)
+        Pinf = Pinf.at[off:off + d, off:off + d].set(Pb)
+        off += d
+    H = jnp.asarray(np.concatenate(hs), dt.dtype)
+    return Phi, Pinf, H
+
+
+# -- small-matrix helpers ------------------------------------------------------
+
+def _small_inv(M):
+    """Closed-form inverse for (..., d, d), d <= 3 — pure VPU elementwise.
+
+    Batched LU (``jnp.linalg.solve``) on (..., 3, 3) operands is
+    catastrophically layout-hostile on TPU (the trailing dims pad to the
+    (8, 128) register tile); the adjugate form keeps the batch dims in the
+    vector lanes instead.
+    """
+    d = M.shape[-1]
+    if d == 1:
+        return 1.0 / M
+    if d == 2:
+        a, b = M[..., 0, 0], M[..., 0, 1]
+        c, e = M[..., 1, 0], M[..., 1, 1]
+        det = a * e - b * c
+        inv = jnp.stack([
+            jnp.stack([e, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1),
+        ], axis=-2)
+        return inv / det[..., None, None]
+    if d == 3:
+        m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+        m10, m11, m12 = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+        m20, m21, m22 = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+        c00 = m11 * m22 - m12 * m21
+        c01 = m12 * m20 - m10 * m22
+        c02 = m10 * m21 - m11 * m20
+        c10 = m02 * m21 - m01 * m22
+        c11 = m00 * m22 - m02 * m20
+        c12 = m01 * m20 - m00 * m21
+        c20 = m01 * m12 - m02 * m11
+        c21 = m02 * m10 - m00 * m12
+        c22 = m00 * m11 - m01 * m10
+        det = m00 * c00 + m01 * c01 + m02 * c02
+        inv = jnp.stack([
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ], axis=-2)
+        return inv / det[..., None, None]
+    return jnp.linalg.inv(M)
+
+
+def _solve_small(M, B):
+    """solve(M, B) through :func:`_small_inv` for tiny trailing dims."""
+    if M.shape[-1] <= 3:
+        return _small_inv(M) @ B
+    return jnp.linalg.solve(M, B)
+
+
+# -- Kalman prediction-error log-likelihood -----------------------------------
+
+def kalman_filter(Phi, Q, Pinf, H, y, v):
+    """Sequential Kalman filter (lax.scan).
+
+    Returns ``(S, innov, m_f, P_f, m_p, P_p)``: innovation variances/values
+    and filtered/predicted moments per step.  Note the classical identities
+    this module trades on: ``logdet K = sum log S`` and
+    ``y^T K^{-1} y = sum innov^2 / S`` (prediction-error decomposition).
+    """
+    D = Pinf.shape[0]
+    eye = jnp.eye(D, dtype=y.dtype)
+    # Prepend an identity transition so step 0 is "predict from the prior".
+    Phi = jnp.concatenate([eye[None], Phi], axis=0)
+    Q = jnp.concatenate([Pinf[None] * 0.0, Q], axis=0)
+
+    def step(carry, inp):
+        m, P = carry
+        Phi_k, Q_k, y_k, v_k = inp
+        m_ = Phi_k @ m
+        P_ = Phi_k @ P @ Phi_k.T + Q_k
+        Ph = P_ @ H
+        S = H @ Ph + v_k
+        innov = y_k - H @ m_
+        K = Ph / S
+        m = m_ + K * innov
+        ikh = eye - jnp.outer(K, H)
+        P = ikh @ P_ @ ikh.T + v_k * jnp.outer(K, K)   # Joseph form
+        return (m, P), (S, innov, m, P, m_, P_)
+
+    m0 = jnp.zeros((D,), y.dtype)
+    (_, _), out = jax.lax.scan(step, (m0, Pinf), (Phi, Q, y, v))
+    return out
+
+
+def rts_smoother_means(Phi, Q, Pinf, H, y, v):
+    """Smoothed state means E[x_k | y_{1:N}] (Rauch-Tung-Striebel pass)."""
+    S, innov, m_f, P_f, m_p, P_p = kalman_filter(Phi, Q, Pinf, H, y, v)
+
+    def back(m_next_s, inp):
+        m_f_k, P_f_k, Phi_n, m_p_n, P_p_n = inp
+        G = P_f_k @ Phi_n.T @ _small_inv(P_p_n)
+        m_s = m_f_k + G @ (m_next_s - m_p_n)
+        return m_s, m_s
+
+    # Step k uses the k -> k+1 transition (Phi[k]) and the k+1 predictions;
+    # reverse=True runs last-to-first but stacks outputs in forward order.
+    inputs = (m_f[:-1], P_f[:-1], Phi, m_p[1:], P_p[1:])
+    _, m_s_head = jax.lax.scan(back, m_f[-1], inputs, reverse=True)
+    return jnp.concatenate([m_s_head, m_f[-1:]], axis=0)
+
+
+def _kalman_loglike_sequential(Phi, Q, Pinf, H, y, v):
+    """lax.scan filter likelihood: the O(N)-depth correctness oracle."""
+    S, innov, *_ = kalman_filter(Phi, Q, Pinf, H, y, v)
+    return jnp.sum(
+        -0.5 * (jnp.log(2.0 * jnp.pi * S) + innov * innov / S)
+    )
+
+
+def _kalman_loglike_parallel(Phi, Q, Pinf, H, y, v):
+    """Associative-scan filter: O(log N) depth of batched (D, D) ops.
+
+    Elements and composition follow the filtering operator of Särkkä &
+    García-Fernández (2021): e_k = (A, b, C, eta, J) with
+    e_i * e_j = (Aj (I+Ci Jj)^{-1} Ai, ..., Ai^T (I+Jj Ci)^{-1} Jj Ai + Ji).
+    The prefix at k yields the filtered mean/cov; innovations are then
+    evaluated vectorized from the one-step-shifted filtered states.
+    """
+    n = y.shape[0]
+    D = Pinf.shape[0]
+    eye = jnp.eye(D, dtype=y.dtype)
+
+    # Element k >= 1 (0-indexed: k-th observation, transition Phi[k-1]):
+    #   S = H Q H^T + v ; K = Q H^T / S
+    #   A = (I - K H) Phi ; b = K y ; C = (I - K H) Q
+    #   eta = Phi^T H^T y / S ; J = Phi^T H^T H Phi / S
+    Qh = Q @ H                                      # (M, D)
+    S = Qh @ H + v[1:]                              # (M,)
+    K = Qh / S[:, None]                             # (M, D)
+    ikh = eye[None] - K[:, :, None] * H[None, None, :]
+    A_el = ikh @ Phi
+    b_el = K * y[1:, None]
+    C_el = ikh @ Q
+    PhiTH = jnp.swapaxes(Phi, 1, 2) @ H             # (M, D)
+    eta_el = PhiTH * (y[1:] / S)[:, None]
+    J_el = PhiTH[:, :, None] * PhiTH[:, None, :] / S[:, None, None]
+
+    # Element 0: filtered posterior from the stationary prior N(0, Pinf).
+    Ph0 = Pinf @ H
+    S0 = H @ Ph0 + v[0]
+    K0 = Ph0 / S0
+    ikh0 = eye - jnp.outer(K0, H)
+    A0 = jnp.zeros((D, D), y.dtype)
+    b0 = K0 * y[0]
+    C0 = ikh0 @ Pinf @ ikh0.T + v[0] * jnp.outer(K0, K0)
+    eta0 = jnp.zeros((D,), y.dtype)
+    J0 = jnp.zeros((D, D), y.dtype)
+
+    A = jnp.concatenate([A0[None], A_el], axis=0)
+    b = jnp.concatenate([b0[None], b_el], axis=0)
+    C = jnp.concatenate([C0[None], C_el], axis=0)
+    eta = jnp.concatenate([eta0[None], eta_el], axis=0)
+    J = jnp.concatenate([J0[None], J_el], axis=0)
+
+    def combine(ei, ej):
+        Ai, bi, Ci, etai, Ji = ei
+        Aj, bj, Cj, etaj, Jj = ej
+        I = jnp.broadcast_to(eye, Ci.shape)
+        d = eye.shape[0]
+        # W = (I + Ci Jj)^{-1} against [Ai | Ci | rhs], via the closed-form
+        # small inverse (TPU-friendly: batch dims stay in the vector lanes).
+        G = _solve_small(
+            I + Ci @ Jj, jnp.concatenate(
+                [Ai, Ci,
+                 (bi + (Ci @ etaj[..., None])[..., 0])[..., None]],
+                axis=-1,
+            )
+        )
+        WA, WC, Wb = G[..., :d], G[..., d:2 * d], G[..., -1]
+        AjT = jnp.swapaxes(Aj, -1, -2)
+        A_n = Aj @ WA
+        b_n = (Aj @ Wb[..., None])[..., 0] + bj
+        C_n = Aj @ WC @ AjT + Cj
+        # Dual quantities.
+        Gt = _solve_small(
+            I + Jj @ Ci, jnp.concatenate(
+                [Jj @ Ai, (etaj - (Jj @ bi[..., None])[..., 0])[..., None]],
+                axis=-1,
+            )
+        )
+        AiT = jnp.swapaxes(Ai, -1, -2)
+        J_n = AiT @ Gt[..., :-1] + Ji
+        eta_n = (AiT @ Gt[..., -1][..., None])[..., 0] + etai
+        return A_n, b_n, C_n, eta_n, J_n
+
+    As, bs, Cs, _, _ = jax.lax.associative_scan(combine, (A, b, C, eta, J))
+
+    # Filtered state at k-1 -> innovation at k; the k = 0 row predicts from
+    # the prior (m = 0, P = 0, Q_all[0] = Pinf).
+    m_prev = jnp.concatenate([jnp.zeros((1, D), y.dtype), bs[:-1]], axis=0)
+    P_prev = jnp.concatenate(
+        [jnp.zeros((1, D, D), y.dtype), Cs[:-1]], axis=0
+    )
+    Phi_all = jnp.concatenate([eye[None], Phi], axis=0)
+    Q_all = jnp.concatenate([Pinf[None], Q], axis=0)
+    m_pred = (Phi_all @ m_prev[..., None])[..., 0]
+    P_pred = Phi_all @ P_prev @ jnp.swapaxes(Phi_all, 1, 2) + Q_all
+    S_all = (P_pred @ H) @ H + v
+    innov = y - m_pred @ H
+    return jnp.sum(
+        -0.5 * (jnp.log(2.0 * jnp.pi * S_all) + innov * innov / S_all)
+    )
+
+
+def system_fn(node):
+    """Build ``f(th_kernel, t) -> (Phi, Q, Pinf, H)`` for a kernel tree."""
+    terms = extract_terms(node)
+    if not terms:
+        raise StateSpaceUnsupported("empty kernel has no state")
+
+    def build(th_kernel, t):
+        dt = jnp.diff(t)
+        Phi, Pinf, H = _build_system(terms, th_kernel, dt)
+        Q = Pinf[None] - Phi @ Pinf @ jnp.swapaxes(Phi, 1, 2)
+        return Phi, Q, Pinf, H
+
+    return build
+
+
+def state_space_factor_fn(node):
+    """Jittable ``(th_kernel, t, v) -> (logdet, (Phi, Q, Pinf, H))``.
+
+    ``logdet`` is of the full K + diag(v) via the innovation variances.
+    """
+    build = system_fn(node)
+
+    def factor(th_kernel, t, v):
+        sys = build(th_kernel, t)
+        S, *_ = kalman_filter(*sys, jnp.zeros_like(v), v)
+        return jnp.sum(jnp.log(S)), sys
+
+    return factor
+
+
+def state_space_apply_inverse_fn(node):
+    """Jittable ``(th_kernel, t, v, Y) -> (K + diag(v))^{-1} Y``.
+
+    Uses the regression identity ``K_total^{-1} y = (y - H x_smoothed) / v``
+    for the observation model y = H x + eps, eps ~ N(0, v); requires v > 0.
+    ``Y`` is (N,) or (N, nrhs).
+    """
+    build = system_fn(node)
+
+    def apply_inv(th_kernel, t, v, Y):
+        sys = build(th_kernel, t)
+        single = Y.ndim == 1
+        Ycols = Y[:, None] if single else Y
+
+        def one(col):
+            m_s = rts_smoother_means(*sys, col, v)
+            return (col - m_s @ sys[3]) / v
+
+        out = jax.vmap(one, in_axes=1, out_axes=1)(Ycols)
+        return out[:, 0] if single else out
+
+    return apply_inv
+
+
+def state_space_grad_core_fn(node):
+    """O(N) analog of :func:`george_tpu.ops.linalg.grad_core_fn`.
+
+    ``(theta, wn_vec, t, r, yerr2) -> (g_theta, g_wn_vec, alpha)`` with
+    ``t`` sorted 1-D, everything in sorted order.  Gradients come from one
+    reverse-mode pass through the Kalman filter; ``alpha = K^{-1} r`` from
+    the RTS-smoother identity.
+    """
+    import jax as _jax
+
+    build = system_fn(node)
+    apply_inv = state_space_apply_inverse_fn(node)
+
+    def negative_half_quadform(theta, wn_vec, t, r, yerr2):
+        v = yerr2 + jnp.exp(wn_vec)
+        sys = build(theta, t)
+        S, innov, *_ = kalman_filter(*sys, r, v)
+        return -0.5 * (jnp.sum(jnp.log(S)) + jnp.sum(innov * innov / S))
+
+    grad = _jax.grad(negative_half_quadform, argnums=(0, 1))
+
+    @_jax.jit
+    def core(theta, wn_vec, t, r, yerr2):
+        g_theta, g_wn = grad(theta, wn_vec, t, r, yerr2)
+        v = yerr2 + jnp.exp(wn_vec)
+        alpha = apply_inv(theta, t, v, r)
+        return g_theta, g_wn, alpha
+
+    return core
+
+
+def state_space_loglike_fn(node, method="parallel"):
+    """Build ``ll(th_kernel, t, r, v) -> scalar`` for a kernel tree.
+
+    ``t`` must be sorted ascending (1-D), ``r`` the mean-subtracted targets,
+    ``v`` the per-point observation variance (yerr^2 + white noise).
+    Raises :class:`StateSpaceUnsupported` for non-Markovian trees.
+    """
+    terms = extract_terms(node)
+    kernel_fn = (
+        _kalman_loglike_parallel if method == "parallel"
+        else _kalman_loglike_sequential
+    )
+
+    if not terms:
+        def ll_empty(th_kernel, t, r, v):
+            return jnp.sum(
+                -0.5 * (jnp.log(2.0 * jnp.pi * v) + r * r / v)
+            )
+        return ll_empty
+
+    def ll(th_kernel, t, r, v):
+        dt = jnp.diff(t)
+        Phi, Pinf, H = _build_system(terms, th_kernel, dt)
+        Q = Pinf[None] - Phi @ Pinf @ jnp.swapaxes(Phi, 1, 2)
+        return kernel_fn(Phi, Q, Pinf, H, r, v)
+
+    return ll

@@ -61,7 +61,7 @@ def _bounds_arrays(gp):
     return lo, hi
 
 
-def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None):
+def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None, method="auto"):
     """Compile a GP hyperparameter posterior into a pure function.
 
     :param gp: a :class:`george_tpu.GP` (its *current* frozen parameters are
@@ -70,6 +70,17 @@ def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None):
         :meth:`GP.log_likelihood`.
     :param log_prior: optional extra traceable ``log_prior(theta_active)``
         added on top of the modeling protocol's bounds prior.
+    :param method: likelihood algorithm —
+
+        * ``"dense"``: covariance build + Cholesky, O(N^3); works for every
+          kernel;
+        * ``"state_space"`` / ``"state_space_sequential"``: exact O(N)
+          Kalman likelihood via the parallel (associative-scan) or
+          sequential filter; 1-D Markovian kernels only
+          (:mod:`george_tpu.ops.state_space`);
+        * ``"auto"`` (default): state-space when the kernel admits it,
+          dense otherwise.  Both compute the same marginal likelihood (to
+          fp accuracy), so this is purely a performance decision.
 
     Returns ``(log_prob, theta0)`` where ``log_prob(theta_active) -> scalar``
     is jit/vmap/grad-safe and ``theta0`` is the current active vector.
@@ -81,6 +92,29 @@ def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None):
     )
 
     node = gp.kernel.spec_node()
+
+    if method in ("auto", "state_space", "state_space_sequential",
+                  "state_space_parallel"):
+        from ..ops import state_space as sskf
+
+        usable = x_host.shape[1] == 1 and sskf.supports_state_space(node)
+        if not usable and method != "auto":
+            raise sskf.StateSpaceUnsupported(
+                "kernel/inputs have no exact state-space form; "
+                "use method='dense'"
+            )
+        if usable:
+            # Sequential scan is the default: under vmap (many chains) each
+            # filter step batches over chains essentially for free, beating
+            # both the dense Cholesky and the associative-scan filter (whose
+            # O(N) element tensors pay HBM traffic per chain).  The parallel
+            # filter wins for few-chain, large-N evaluations (optimization).
+            return _build_state_space_log_prob(
+                gp, node, x_host, y_host, yerr2, log_prior,
+                "parallel" if method == "state_space_parallel"
+                else "sequential",
+            )
+
     kernel_value = compiler._value_builder(node)
 
     mean_fn = traceable_model_fn(gp.mean, x_host)
@@ -124,6 +158,55 @@ def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None):
         # Cholesky failure (non-PD) surfaces as NaN: map to -inf so samplers
         # treat it as a rejected/divergent proposal (the quiet=True contract,
         # reference gp.py:385-397).
+        return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+    theta0 = jnp.asarray(gp.get_parameter_vector())
+    return log_prob, theta0
+
+
+def _build_state_space_log_prob(gp, node, x_host, y_host, yerr2, log_prior,
+                                ss_method):
+    """O(N) Kalman-filter posterior density (1-D Markovian kernels)."""
+    from ..ops import state_space as sskf
+
+    # The marginal likelihood is permutation-invariant; the filter needs
+    # time-ordered inputs.
+    order = np.argsort(x_host[:, 0], kind="stable")
+    t_host = x_host[order, 0]
+    y_sorted = y_host[order]
+    yerr2_sorted = yerr2[order]
+    x_sorted = x_host[order]
+
+    mean_fn = traceable_model_fn(gp.mean, x_sorted)
+    wn_fn = traceable_model_fn(gp.white_noise, x_sorted)
+    ss_ll = sskf.state_space_loglike_fn(node, method=ss_method)
+
+    n_mean = gp.mean.full_size
+    n_wn = gp.white_noise.full_size
+    theta_full0 = jnp.asarray(gp.get_parameter_vector(include_frozen=True))
+    unfrozen = np.flatnonzero(gp.unfrozen_mask)
+    lo, hi = _bounds_arrays(gp)
+
+    t_dev = jnp.asarray(t_host)
+    x_dev = jnp.asarray(x_sorted)
+    y_dev = jnp.asarray(y_sorted)
+    yerr2_dev = jnp.asarray(yerr2_sorted)
+
+    def log_prob(theta_active):
+        theta = theta_full0.at[unfrozen].set(theta_active)
+        in_bounds = jnp.all((theta >= lo) & (theta <= hi))
+
+        th_mean = theta[:n_mean]
+        th_wn = theta[n_mean:n_mean + n_wn]
+        th_kernel = theta[n_mean + n_wn:]
+
+        r = y_dev - mean_fn(th_mean, x_dev)
+        v = yerr2_dev + jnp.exp(wn_fn(th_wn, x_dev))
+        ll = ss_ll(th_kernel, t_dev, r, v)
+
+        lp = jnp.where(in_bounds, ll, -jnp.inf)
+        if log_prior is not None:
+            lp = lp + log_prior(theta_active)
         return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
     theta0 = jnp.asarray(gp.get_parameter_vector())
