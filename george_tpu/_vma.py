@@ -14,7 +14,15 @@ no-op, so single-device code paths are untouched.
 
 import jax
 
-__all__ = ["vma_of", "vma_union", "pvary_like"]
+__all__ = ["vma_of", "vma_union", "pvary_like", "_pvary_axis"]
+
+
+def _pvary_axis(x, axis_name):
+    """Promote one array to vary over ``axis_name`` (no-op if it already
+    does, or outside shard_map)."""
+    if axis_name in frozenset(getattr(jax.typeof(x), "vma", ()) or ()):
+        return x
+    return jax.lax.pcast(x, (axis_name,), to="varying")
 
 
 def vma_of(x):

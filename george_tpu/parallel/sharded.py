@@ -11,9 +11,10 @@ is single-process single-threaded — SURVEY.md §2.6):
   * **data sharding** — the O(N^2 d) covariance *build* shards over the N
     axis: each device computes its column stripe ``K[:, local]`` against an
     all-gathered coordinate block, and the stripes concatenate with one
-    ``all_gather`` over ICI.  (The O(N^3) Cholesky stays replicated in this
-    round; a 2-D block-cyclic distributed Cholesky is the planned next step
-    for N >= 16k.)
+    ``all_gather`` over ICI.  With ``distributed_cholesky=True`` the O(N^3)
+    factorization itself also runs sharded (blocked panel Cholesky with
+    psum substitutions, :mod:`george_tpu.parallel.dist_chol`) so K never
+    materializes on a single device.
 
 Everything composes: ``run_mcmc_sharded`` over a ("chains", "data") mesh
 runs chain-parallel NUTS whose every log-prob evaluation is itself
@@ -32,7 +33,8 @@ from ..ops.linalg import cholesky_factor, cho_solve
 from ..samplers.logprob import traceable_model_fn, _bounds_arrays
 from ..samplers.mcmc import make_mcmc_core, MCMCResult
 
-__all__ = ["run_mcmc_sharded", "make_sharded_gp_log_prob_factory"]
+__all__ = ["run_mcmc_sharded", "run_smc_sharded",
+           "make_sharded_gp_log_prob_factory"]
 
 
 def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
@@ -206,3 +208,33 @@ def run_mcmc_sharded(log_prob_factory, data, z0, key, mesh,
         check_vma=True,
     )
     return jax.jit(fn)(z0, jnp.asarray(key), *data)
+
+
+def run_smc_sharded(log_prob, log_init_prob, particles0, key, mesh,
+                    particle_axis="particles", **smc_kwargs):
+    """Particle-sharded adaptive-tempering SMC over a mesh.
+
+    The cloud is replicated (hyperparameter dim is small); the O(n x
+    model-cost) density evaluations shard over ``particle_axis`` and
+    all_gather back, so temperatures, resampling, and the RNG stream are
+    identical to :func:`george_tpu.samplers.run_smc` on one device.
+    ``particles0.shape[0]`` must divide the axis size.
+    """
+    from ..samplers.smc import run_smc, SMCResult
+
+    particles0 = jnp.asarray(particles0)
+    if particles0.shape[0] % mesh.shape[particle_axis]:
+        raise ValueError("num_particles must divide the particle axis")
+
+    def sharded(particles0, key):
+        return run_smc(
+            log_prob, log_init_prob, particles0, key,
+            axis_name=particle_axis, **smc_kwargs
+        )
+
+    fn = jax.shard_map(
+        sharded, mesh=mesh, in_specs=(P(), P()),
+        out_specs=SMCResult(P(), P(), P(), P(), P()),
+        check_vma=True,
+    )
+    return fn(particles0, jnp.asarray(key))

@@ -59,8 +59,34 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
     n, dim = particles0.shape
     dtype = particles0.dtype
 
-    v_target = jax.vmap(log_prob)
-    v_init = jax.vmap(log_init_prob)
+    _v_target = jax.vmap(log_prob)
+    _v_init = jax.vmap(log_init_prob)
+
+    def _distributed(vf):
+        """Evaluate a particle-batched density sharded over the mesh.
+
+        The cloud is replicated (hyperparameter dim is small); the O(n x
+        model-cost) density evaluations are what shard: each device
+        evaluates its slice and the results all_gather back, so the
+        algorithm (temperatures, resampling, RNG stream) is *identical* to
+        the single-device run.  This is the SMC collective design of
+        SURVEY.md §2.6.
+        """
+        if axis_name is None:
+            return vf
+
+        def sharded(thetas):
+            n_loc = thetas.shape[0] // jax.lax.axis_size(axis_name)
+            start = jax.lax.axis_index(axis_name) * n_loc
+            local = jax.lax.dynamic_slice_in_dim(thetas, start, n_loc)
+            return jax.lax.all_gather(
+                vf(local), axis_name, axis=0, tiled=True
+            )
+
+        return sharded
+
+    v_target = _distributed(_v_target)
+    v_init = _distributed(_v_init)
 
     def tempered(thetas, lam):
         return lam * v_target(thetas) + (1.0 - lam) * v_init(thetas)
@@ -83,10 +109,13 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
             return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid), it + 1)
 
         full = ess_at(jnp.asarray(1.0, dtype)) >= target
-        lo, hi, _ = jax.lax.while_loop(
-            cond, body, (lam, jnp.asarray(1.0, dtype),
-                         jnp.zeros((), jnp.int32))
+        from .._vma import pvary_like
+
+        carry0 = pvary_like(
+            (lam, jnp.asarray(1.0, dtype), jnp.zeros((), jnp.int32)),
+            lam, delta_logw,
         )
+        lo, hi, _ = jax.lax.while_loop(cond, body, carry0)
         return jnp.where(full, jnp.asarray(1.0, dtype), lo)
 
     def mutate(key, thetas, lam):
@@ -112,9 +141,12 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
             return (thetas, accepts + jnp.mean(take)), None
 
         keys = jax.random.split(key, num_mutations)
-        (thetas, accepts), _ = jax.lax.scan(
-            one, (thetas, jnp.zeros((), dtype)), keys
+        from .._vma import pvary_like
+
+        carry0 = pvary_like(
+            (thetas, jnp.zeros((), dtype)), thetas, lam
         )
+        (thetas, accepts), _ = jax.lax.scan(one, carry0, keys)
         return thetas, accepts / num_mutations
 
     @jax.jit
@@ -142,15 +174,36 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
 
         init = (particles0, jnp.zeros((), dtype), jnp.zeros((), dtype),
                 jnp.zeros((), jnp.int32), jnp.zeros((), dtype), key)
+        if axis_name is not None:
+            # shard_map vma discipline: the loop body produces values typed
+            # varying (they pass through all_gather), so the replicated
+            # initial carry must be promoted up front.
+            from .._vma import _pvary_axis
+
+            init = jax.tree_util.tree_map(
+                lambda x: _pvary_axis(x, axis_name), init
+            )
         thetas, lam, logz, stage, accept, _ = jax.lax.while_loop(
             cond, body, init
         )
-        return SMCResult(
+        out = SMCResult(
             particles=thetas,
             log_prob=v_target(thetas),
             log_evidence=logz,
             num_stages=stage,
             acceptance=accept,
         )
+        if axis_name is not None:
+            # Every device holds the identical result (same RNG stream, same
+            # gathered weights); reduce to the invariant vma type so callers
+            # can use replicated out_specs.
+            out = SMCResult(
+                particles=jax.lax.pmean(out.particles, axis_name),
+                log_prob=jax.lax.pmean(out.log_prob, axis_name),
+                log_evidence=jax.lax.pmean(out.log_evidence, axis_name),
+                num_stages=jax.lax.pmax(out.num_stages, axis_name),
+                acceptance=jax.lax.pmean(out.acceptance, axis_name),
+            )
+        return out
 
     return _run(particles0, key)

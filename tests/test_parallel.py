@@ -88,3 +88,38 @@ def test_chains_by_data_hmc(seed=7, N=64):
     )
     assert np.all(np.isfinite(np.asarray(res.samples)))
     assert float(res.accept_prob.mean()) > 0.2
+
+
+def test_smc_sharded_matches_single_device():
+    """Particle-sharded SMC reproduces the single-device run exactly
+    (identical temperatures, resampling, and RNG stream)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from george_tpu.parallel import chain_mesh, run_smc_sharded
+    from george_tpu.samplers.smc import run_smc
+
+    dim = 2
+
+    def log_target(z):
+        return -0.5 * jnp.sum((z - 1.0) ** 2) / 0.3 ** 2
+
+    def log_init(z):
+        return -0.5 * jnp.sum(z ** 2) / 2.0 ** 2
+
+    key = jax.random.PRNGKey(3)
+    p0 = 2.0 * jax.random.normal(jax.random.PRNGKey(4), (64, dim))
+
+    res1 = run_smc(log_target, log_init, p0, key, num_mutations=3)
+    mesh = chain_mesh(8, axis="particles")
+    res8 = run_smc_sharded(log_target, log_init, p0, key, mesh,
+                           num_mutations=3)
+
+    assert int(res8.num_stages) == int(res1.num_stages)
+    np.testing.assert_allclose(
+        np.asarray(res8.particles), np.asarray(res1.particles),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        float(res8.log_evidence), float(res1.log_evidence), rtol=1e-10
+    )
