@@ -560,6 +560,53 @@ def state_space_apply_inverse_fn(node):
     return apply_inv
 
 
+def state_space_apply_sqrt_fn(node):
+    """Jittable ``(th_kernel, t, v, Z) -> samples`` with cov K + diag(v).
+
+    The innovations representation K_total = L S L^T (L unit lower
+    triangular in time order) *is* the Cholesky factorization of the
+    covariance; one forward pass maps iid normals ``Z`` (..., n) to exact
+    GP prior draws in O(N): ``y_k = H m^-_k + sqrt(S_k) z_k`` with the
+    filter updated on the sampled value.
+    """
+    import jax as _jax
+
+    build = system_fn(node)
+
+    def apply_sqrt(th_kernel, t, v, Z):
+        Phi, Q, Pinf, H = build(th_kernel, t)
+        D = Pinf.shape[0]
+        dtype = Z.dtype
+        eye = jnp.eye(D, dtype=dtype)
+        Phi_all = jnp.concatenate([eye[None], Phi], axis=0)
+        Q_all = jnp.concatenate([Pinf[None] * 0.0, Q], axis=0)
+
+        def one(z):
+            def step(carry, inp):
+                m, P = carry
+                Phi_k, Q_k, z_k, v_k = inp
+                m_ = Phi_k @ m
+                P_ = Phi_k @ P @ Phi_k.T + Q_k
+                Ph = P_ @ H
+                S = H @ Ph + v_k
+                y_k = H @ m_ + jnp.sqrt(S) * z_k
+                K = Ph / S
+                m = m_ + K * (y_k - H @ m_)
+                ikh = eye - jnp.outer(K, H)
+                P = ikh @ P_ @ ikh.T + v_k * jnp.outer(K, K)
+                return (m, P), y_k
+
+            m0 = jnp.zeros((D,), dtype)
+            _, ys = _jax.lax.scan(step, (m0, Pinf), (Phi_all, Q_all, z, v))
+            return ys
+
+        single = Z.ndim == 1
+        out = one(Z) if single else _jax.vmap(one)(Z)
+        return out
+
+    return apply_sqrt
+
+
 def state_space_grad_core_fn(node):
     """O(N) analog of :func:`george_tpu.ops.linalg.grad_core_fn`.
 

@@ -13,9 +13,9 @@ solver-protocol operation reduces to Kalman passes:
   * ``dot_solve``       — sum innov^2 / S from one filter pass;
   * ``apply_inverse``   — the regression identity
     ``K^{-1} y = (y - H x_smoothed) / v`` via an RTS smoother per column;
-  * ``apply_sqrt``      — NotImplementedError, matching the reference's
-    HODLR precedent (/root/reference/src/george/solvers/hodlr.py:62-64);
-    ``GP.sample`` falls back to the dense covariance path.
+  * ``apply_sqrt``      — the innovations square root (the time-ordered
+    Cholesky factorization K = L S L^T that the filter computes
+    implicitly), so ``GP.sample`` is O(N) too.
 
 Same API surface as the other solvers (reference solver protocol,
 docs/user/solvers.rst:11-22).  Inputs need not be pre-sorted; the solver
@@ -119,10 +119,18 @@ class StateSpaceSolver(object):
         return out
 
     def apply_sqrt(self, r):
-        raise NotImplementedError(
-            "apply_sqrt is not available for the state-space solver "
-            "(same contract as the reference HODLR solver)"
-        )
+        """Map iid normals to draws with covariance K + diag(v), O(N).
+
+        Uses the innovations square root (the time-ordered Cholesky): rows
+        of the result have exactly the computed covariance, like the dense
+        solver's ``r @ U`` — the factor orientation differs (time order),
+        which only matters if the caller depends on the specific U.
+        """
+        r_arr = np.asarray(r, dtype=np.float64)
+        out_sorted = np.asarray(_apply_sqrt_cached(self.kernel.spec_node())(
+            self._theta(), self._t, self._v, r_arr
+        ))
+        return out_sorted[..., self._inv_order]
 
     def get_inverse(self):
         n = self._t.shape[0]
@@ -159,3 +167,9 @@ def _dot_solve_cached(node):
 def _apply_inverse_cached(node):
     import jax
     return jax.jit(sskf.state_space_apply_inverse_fn(node))
+
+
+@lru_cache(maxsize=None)
+def _apply_sqrt_cached(node):
+    import jax
+    return jax.jit(sskf.state_space_apply_sqrt_fn(node))

@@ -229,3 +229,25 @@ def test_state_space_solver_rejects_unsupported():
     solver = StateSpaceSolver(1.0 * kernels.Matern32Kernel(1.0))
     with pytest.raises(ValueError):
         solver.compute(np.linspace(0, 1, 10), 0.0)   # zero noise variance
+
+
+def test_state_space_apply_sqrt_covariance():
+    """The innovations square root reproduces K + diag(v) empirically and
+    exactly (W W^T against the dense covariance)."""
+    from george_tpu.solvers import BasicSolver, StateSpaceSolver
+
+    t, _, yerr = _dataset(n=60, seed=23)
+    k = 1.3 * kernels.Matern32Kernel(0.8)
+    gp_ss = george.GP(k, solver=StateSpaceSolver)
+    gp_basic = george.GP(k, solver=BasicSolver)
+    gp_ss.compute(t, yerr)
+    gp_basic.compute(t, yerr)
+
+    # Exact check: applying to the identity gives a square root W of K.
+    W = gp_ss.solver.apply_sqrt(np.eye(len(t)))
+    K = gp_basic.get_matrix(t) + np.diag(yerr ** 2)
+    np.testing.assert_allclose(W.T @ W, K, rtol=1e-8, atol=1e-10)
+
+    # And GP.sample runs through it.
+    s = gp_ss.sample(size=3)
+    assert s.shape == (3, len(t))
