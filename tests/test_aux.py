@@ -105,3 +105,30 @@ def test_pallas_cov_forward_and_vjp(name, nparams):
                 scale = max(1.0, float(jnp.abs(b).max()))
                 assert np.allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3 * scale)
+
+
+def test_log_prob_clean_under_debug_nans():
+    """The healthy likelihood path raises no NaNs under jax_debug_nans
+    (SURVEY.md §5: NaN-checking test mode replaces the reference's absent
+    sanitizer CI)."""
+    import jax
+    import numpy as np
+    import george_tpu as george
+    from george_tpu import kernels
+    from george_tpu.samplers import build_gp_log_prob
+
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 10, 64))
+    yerr = 0.1 * np.ones(64)
+    y = np.sin(x) + yerr * rng.standard_normal(64)
+    gp = george.GP(1.0 * kernels.Matern32Kernel(1.0),
+                   white_noise=np.log(1e-4), fit_white_noise=True)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        for method in ("dense", "state_space"):
+            lp, th0 = build_gp_log_prob(gp, x, y, yerr, method=method)
+            v, g = jax.value_and_grad(lp)(th0)
+            assert np.isfinite(float(v))
+            assert np.all(np.isfinite(np.asarray(g)))
+    finally:
+        jax.config.update("jax_debug_nans", False)
