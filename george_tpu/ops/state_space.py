@@ -299,6 +299,10 @@ def _build_system(terms, th_kernel, dt):
     return Phi, Pinf, H
 
 
+# Unroll factor for the sequential scans (dispatch-latency amortization).
+_SCAN_UNROLL = 8
+
+
 # -- small-matrix helpers ------------------------------------------------------
 
 def _small_inv(M):
@@ -382,7 +386,12 @@ def kalman_filter(Phi, Q, Pinf, H, y, v):
         return (m, P), (S, innov, m, P, m_, P_)
 
     m0 = jnp.zeros((D,), y.dtype)
-    (_, _), out = jax.lax.scan(step, (m0, Pinf), (Phi, Q, y, v))
+    # unroll: the per-step work is tiny (a few (D, D) ops), so sequential
+    # dispatch latency dominates; unrolling amortizes it ~UNROLL-fold in
+    # both the forward scan and its transposed backward scan.
+    (_, _), out = jax.lax.scan(
+        step, (m0, Pinf), (Phi, Q, y, v), unroll=_SCAN_UNROLL
+    )
     return out
 
 
@@ -399,7 +408,9 @@ def rts_smoother_means(Phi, Q, Pinf, H, y, v):
     # Step k uses the k -> k+1 transition (Phi[k]) and the k+1 predictions;
     # reverse=True runs last-to-first but stacks outputs in forward order.
     inputs = (m_f[:-1], P_f[:-1], Phi, m_p[1:], P_p[1:])
-    _, m_s_head = jax.lax.scan(back, m_f[-1], inputs, reverse=True)
+    _, m_s_head = jax.lax.scan(
+        back, m_f[-1], inputs, reverse=True, unroll=_SCAN_UNROLL
+    )
     return jnp.concatenate([m_s_head, m_f[-1:]], axis=0)
 
 
@@ -597,7 +608,10 @@ def state_space_apply_sqrt_fn(node):
                 return (m, P), y_k
 
             m0 = jnp.zeros((D,), dtype)
-            _, ys = _jax.lax.scan(step, (m0, Pinf), (Phi_all, Q_all, z, v))
+            _, ys = _jax.lax.scan(
+                step, (m0, Pinf), (Phi_all, Q_all, z, v),
+                unroll=_SCAN_UNROLL,
+            )
             return ys
 
         single = Z.ndim == 1
