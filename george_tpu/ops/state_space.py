@@ -58,6 +58,27 @@ class StateSpaceUnsupported(ValueError):
     """Kernel tree has no exact finite-dimensional SDE representation."""
 
 
+def _full_precision(fn):
+    """Trace ``fn`` with full-f32 matmul precision.
+
+    TPU's DEFAULT f32 matmul precision computes through bfloat16 passes
+    (~1e-2 relative error).  The dense path tolerates that; the Kalman
+    recurrences do not — P and Q live near cancellation, and a 1e-2 error
+    in ``H P H^T`` drives the innovation variance S negative, so the f32
+    likelihood NaNs (observed on-chip: ~25% of mild hyperparameter draws).
+    The state matrices here are (d, d) with d <= 3 — VPU work — so HIGHEST
+    precision costs nothing and restores true-f32 accuracy.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 # -- term extraction from the kernel expression tree -------------------------
 
 @dataclass(frozen=True)
@@ -357,6 +378,7 @@ def _solve_small(M, B):
 
 # -- Kalman prediction-error log-likelihood -----------------------------------
 
+@_full_precision
 def kalman_filter(Phi, Q, Pinf, H, y, v):
     """Sequential Kalman filter (lax.scan).
 
@@ -395,6 +417,7 @@ def kalman_filter(Phi, Q, Pinf, H, y, v):
     return out
 
 
+@_full_precision
 def rts_smoother_means(Phi, Q, Pinf, H, y, v):
     """Smoothed state means E[x_k | y_{1:N}] (Rauch-Tung-Striebel pass)."""
     S, innov, m_f, P_f, m_p, P_p = kalman_filter(Phi, Q, Pinf, H, y, v)
@@ -414,6 +437,7 @@ def rts_smoother_means(Phi, Q, Pinf, H, y, v):
     return jnp.concatenate([m_s_head, m_f[-1:]], axis=0)
 
 
+@_full_precision
 def _kalman_loglike_sequential(Phi, Q, Pinf, H, y, v):
     """lax.scan filter likelihood: the O(N)-depth correctness oracle."""
     S, innov, *_ = kalman_filter(Phi, Q, Pinf, H, y, v)
@@ -422,6 +446,7 @@ def _kalman_loglike_sequential(Phi, Q, Pinf, H, y, v):
     )
 
 
+@_full_precision
 def _kalman_loglike_parallel(Phi, Q, Pinf, H, y, v):
     """Associative-scan filter: O(log N) depth of batched (D, D) ops.
 
@@ -523,6 +548,7 @@ def system_fn(node):
     if not terms:
         raise StateSpaceUnsupported("empty kernel has no state")
 
+    @_full_precision
     def build(th_kernel, t):
         dt = jnp.diff(t)
         Phi, Pinf, H = _build_system(terms, th_kernel, dt)
@@ -584,6 +610,7 @@ def state_space_apply_sqrt_fn(node):
 
     build = system_fn(node)
 
+    @_full_precision
     def apply_sqrt(th_kernel, t, v, Z):
         Phi, Q, Pinf, H = build(th_kernel, t)
         D = Pinf.shape[0]
@@ -672,6 +699,7 @@ def state_space_loglike_fn(node, method="parallel"):
             )
         return ll_empty
 
+    @_full_precision
     def ll(th_kernel, t, r, v):
         dt = jnp.diff(t)
         Phi, Pinf, H = _build_system(terms, th_kernel, dt)
