@@ -213,31 +213,33 @@ def supports_state_space(node):
 
 
 # -- per-term discrete-time systems ------------------------------------------
+#
+# Two representations of the same closed forms:
+#
+#   * *entrywise* ("scalarized"): nested D x D Python lists whose entries are
+#     scalars / (M,) arrays, with ``None`` marking structural zeros.  This is
+#     the TPU-native layout for the chain-batched filter: under ``vmap`` every
+#     entry is a (chains,)-vector living in the VPU lanes.  Stacked
+#     (..., d, d) tensors with d <= 3 pad to the (8, 128) register tile — a
+#     64x memory/bandwidth blowup that OOMs at 4096 chains (measured).
+#   * *stacked*: (M, d, d) tensors for the oracle filter / smoother paths,
+#     built by stacking the entrywise forms.
 
-def _matern_system(p, sigma2, lam, dt):
-    """(A (M,d,d), Pinf (d,d)) for the Matern-(p+1/2) SDE.
+def _matern_entries(p, sigma2, lam, dt):
+    """Entrywise (A, Pinf) for the Matern-(p+1/2) SDE; ``dt`` scalar or (M,).
 
     F = -lam I + N with N nilpotent (single Jordan block), so
     expm(F dt) = e^{-lam dt} sum_{k<=p} (N dt)^k / k! exactly.
     """
-    d = p + 1
     if p == 0:
-        A = jnp.exp(-lam * dt)[:, None, None]
-        Pinf = sigma2 * jnp.ones((1, 1), dt.dtype)
-        return A, Pinf
-
+        return [[jnp.exp(-lam * dt)]], [[sigma2]]
     if p == 1:
         lt = lam * dt
         e = jnp.exp(-lt)
-        A = e[:, None, None] * jnp.stack([
-            jnp.stack([1.0 + lt, dt], axis=-1),
-            jnp.stack([-lam * lam * dt, 1.0 - lt], axis=-1),
-        ], axis=-2)
-        Pinf = sigma2 * jnp.diag(jnp.stack([
-            jnp.ones_like(lam), lam * lam
-        ]))
+        A = [[e * (1.0 + lt), e * dt],
+             [-e * lam * lam * dt, e * (1.0 - lt)]]
+        Pinf = [[sigma2, None], [None, sigma2 * lam * lam]]
         return A, Pinf
-
     # p == 2: F companion of (s + lam)^3, N = F + lam I nilpotent (index 3):
     #   N   = [[l, 1, 0], [0, l, 1], [-l^3, -3l^2, -2l]]
     #   N^2 = [[l^2, 2l, 1], [-l^3, -2l^2, -l], [l^4, 2l^3, l^2]]
@@ -245,47 +247,91 @@ def _matern_system(p, sigma2, lam, dt):
     lt = lam * dt
     e = jnp.exp(-lt)
     l2 = lam * lam
-    one = jnp.ones_like(lt)
-    a00 = one + lt + 0.5 * lt * lt
-    a01 = dt * (1.0 + lt)
-    a02 = 0.5 * dt * dt
-    a10 = -0.5 * l2 * lam * dt * dt
-    a11 = one + lt - lt * lt
-    a12 = dt * (1.0 - 0.5 * lt)
-    a20 = l2 * lam * dt * (0.5 * lt - 1.0)
-    a21 = l2 * dt * (lt - 3.0)
-    a22 = one - 2.0 * lt + 0.5 * lt * lt
-    A = e[:, None, None] * jnp.stack([
-        jnp.stack([a00, a01, a02], axis=-1),
-        jnp.stack([a10, a11, a12], axis=-1),
-        jnp.stack([a20, a21, a22], axis=-1),
-    ], axis=-2)
+    A = [
+        [e * (1.0 + lt + 0.5 * lt * lt), e * dt * (1.0 + lt),
+         e * 0.5 * dt * dt],
+        [e * (-0.5 * l2 * lam * dt * dt), e * (1.0 + lt - lt * lt),
+         e * dt * (1.0 - 0.5 * lt)],
+        [e * (l2 * lam * dt * (0.5 * lt - 1.0)), e * (l2 * dt * (lt - 3.0)),
+         e * (1.0 - 2.0 * lt + 0.5 * lt * lt)],
+    ]
     kappa = l2 / 3.0
-    z = jnp.zeros_like(lam)
-    o = jnp.ones_like(lam)
-    Pinf = sigma2 * jnp.stack([
-        jnp.stack([o, z, -kappa], axis=-1),
-        jnp.stack([z, kappa, z], axis=-1),
-        jnp.stack([-kappa, z, l2 * l2], axis=-1),
-    ], axis=-2)
+    Pinf = [[sigma2, None, -sigma2 * kappa],
+            [None, sigma2 * kappa, None],
+            [-sigma2 * kappa, None, sigma2 * l2 * l2]]
     return A, Pinf
+
+
+def _cosine_entries(sigma2, omega, dt):
+    wt = omega * dt
+    c, s = jnp.cos(wt), jnp.sin(wt)
+    return [[c, -s], [s, c]], [[sigma2, None], [None, sigma2]]
+
+
+def _const_entries(sigma2, dt):
+    return [[1.0 + 0.0 * dt]], [[sigma2]]
+
+
+def _family_entries(family, sigma2, rate, dt):
+    if family.startswith("matern"):
+        return _matern_entries(int(family[-1]), sigma2, rate, dt)
+    if family == "cosine":
+        return _cosine_entries(sigma2, rate, dt)
+    return _const_entries(sigma2, dt)
+
+
+def _q_entries(A, Pinf, d):
+    """Entrywise Q = Pinf - A Pinf A^T (None-aware, symmetric)."""
+    Q = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            acc = None
+            for k in range(d):
+                if A[i][k] is None:
+                    continue
+                for l in range(d):
+                    if Pinf[k][l] is None or A[j][l] is None:
+                        continue
+                    term = A[i][k] * Pinf[k][l] * A[j][l]
+                    acc = term if acc is None else acc + term
+            pij = Pinf[i][j]
+            if pij is None:
+                Q[i][j] = None if acc is None else -acc
+            else:
+                Q[i][j] = pij if acc is None else pij - acc
+            Q[j][i] = Q[i][j]
+    return Q
+
+
+def _stack_entries(E, like, dtype):
+    """Nested-list entries (None = 0) -> a stacked (..., d, d) tensor."""
+    d = len(E)
+    z = jnp.zeros_like(like, dtype)
+    rows = [
+        jnp.stack([z if E[i][j] is None else E[i][j] + z
+                   for j in range(d)], axis=-1)
+        for i in range(d)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def _matern_system(p, sigma2, lam, dt):
+    """(A (M,d,d), Pinf (d,d)) for the Matern-(p+1/2) SDE (stacked)."""
+    A_e, P_e = _matern_entries(p, sigma2, lam, dt)
+    return (_stack_entries(A_e, dt, dt.dtype),
+            _stack_entries(P_e, jnp.zeros((), dt.dtype), dt.dtype))
 
 
 def _cosine_system(sigma2, omega, dt):
-    wt = omega * dt
-    c, s = jnp.cos(wt), jnp.sin(wt)
-    A = jnp.stack([
-        jnp.stack([c, -s], axis=-1),
-        jnp.stack([s, c], axis=-1),
-    ], axis=-2)
-    Pinf = sigma2 * jnp.eye(2, dtype=dt.dtype)
-    return A, Pinf
+    A_e, P_e = _cosine_entries(sigma2, omega, dt)
+    return (_stack_entries(A_e, dt, dt.dtype),
+            _stack_entries(P_e, jnp.zeros((), dt.dtype), dt.dtype))
 
 
 def _const_system(sigma2, dt):
-    A = jnp.ones((dt.shape[0], 1, 1), dt.dtype)
-    Pinf = sigma2 * jnp.ones((1, 1), dt.dtype)
-    return A, Pinf
+    A_e, P_e = _const_entries(sigma2, dt)
+    return (_stack_entries(A_e, dt, dt.dtype),
+            _stack_entries(P_e, jnp.zeros((), dt.dtype), dt.dtype))
 
 
 def _build_system(terms, th_kernel, dt):
@@ -320,8 +366,141 @@ def _build_system(terms, th_kernel, dt):
     return Phi, Pinf, H
 
 
-# Unroll factor for the sequential scans (dispatch-latency amortization).
-_SCAN_UNROLL = 8
+def _build_system_entries(terms, sig_rates, dt):
+    """Entrywise block-diagonal (Phi [D][D], Q [D][D], Pinf [D][D], obs).
+
+    ``sig_rates`` is the list of per-term ``(sigma2, rate)`` pairs (computed
+    once per likelihood evaluation, outside the scan).  ``obs`` lists the
+    state indices with H = 1 (the first coordinate of every block).
+    Entries are scalars or ``dt``-shaped arrays; ``None`` marks structural
+    zeros so the filter skips the work entirely.
+    """
+    D = sum(t["dim"] for t in terms)
+    Phi = [[None] * D for _ in range(D)]
+    Q = [[None] * D for _ in range(D)]
+    Pinf = [[None] * D for _ in range(D)]
+    obs = []
+    off = 0
+    for t, (sigma2, rate) in zip(terms, sig_rates):
+        d = t["dim"]
+        A_b, P_b = _family_entries(t["family"], sigma2, rate, dt)
+        Q_b = _q_entries(A_b, P_b, d)
+        for i in range(d):
+            for j in range(d):
+                Phi[off + i][off + j] = A_b[i][j]
+                Q[off + i][off + j] = Q_b[i][j]
+                Pinf[off + i][off + j] = P_b[i][j]
+        obs.append(off)
+        off += d
+    return Phi, Q, Pinf, obs
+
+
+# Unroll factor for the sequential scans.  On TPU the per-step work is tiny
+# (VPU scalars), so sequential dispatch latency dominates and unrolling
+# amortizes it ~8x in both the forward scan and its transposed backward
+# scan.  On CPU (the x64 oracle/test backend) there is no dispatch latency
+# to hide and unrolling only multiplies XLA compile time — the D=7
+# scalarized step takes >10 min to compile at unroll=8, seconds at 1.
+def _scan_unroll():
+    return 8 if jax.default_backend() == "tpu" else 1
+
+
+# -- scalarized (chains-in-lanes) sequential likelihood -----------------------
+
+def _kalman_loglike_scalarized(terms):
+    """Build the scalarized sequential prediction-error log-likelihood.
+
+    The filter state is a flat tuple of scalars — D means plus the lower
+    triangle of the symmetric covariance — and the per-gap transition is
+    recomputed entrywise inside the (rematerialized) scan step from the
+    scalar ``dt``.  Under ``vmap`` over chains every carried value is a
+    (chains,) vector: the chain axis rides the 128-wide VPU lanes, nothing
+    pads, and the only O(N x chains) HBM traffic is the checkpointed carry.
+    Measured vs. the stacked filter at N=1000: ~5.5x faster at 1024 chains
+    and 20x at 4096 (which OOMs the stacked form at 19.6 GB of padding).
+    """
+    D = sum(t["dim"] for t in terms)
+    tri = [(i, j) for i in range(D) for j in range(i + 1)]
+
+    def flatten(m, P, acc):
+        return tuple(m) + tuple(P[i][j] for i, j in tri) + (acc,)
+
+    def unflatten(flat):
+        m = list(flat[:D])
+        P = [[None] * D for _ in range(D)]
+        for (i, j), val in zip(tri, flat[D:-1]):
+            P[i][j] = val
+            P[j][i] = val
+        return m, P, flat[-1]
+
+    @_full_precision
+    def ll(th_kernel, t, r, v):
+        dtype = r.dtype
+        dt_all = jnp.diff(t)
+        sig_rates = [term["fn"](th_kernel) for term in terms]
+
+        _, _, Pinf_e, obs = _build_system_entries(
+            terms, sig_rates, jnp.zeros((), dtype)
+        )
+        zero = jnp.zeros((), dtype)
+        P0 = [[zero if Pinf_e[i][j] is None else Pinf_e[i][j] + zero
+               for j in range(D)] for i in range(D)]
+        m0 = [zero for _ in range(D)]
+
+        def obs_update(m_, P_, y_k, v_k, acc):
+            # h = sum of e_obs; Joseph-form update keeps P PSD in f32.
+            Ph = [sum(P_[i][o] for o in obs) for i in range(D)]
+            S = sum(Ph[o] for o in obs) + v_k
+            innov = y_k - sum(m_[o] for o in obs)
+            K = [Ph[i] / S for i in range(D)]
+            m = [m_[i] + K[i] * innov for i in range(D)]
+            B = [[(1.0 if i == j else 0.0) - (K[i] if j in obs else 0.0)
+                  for j in range(D)] for i in range(D)]
+
+            def nz(b):
+                return not (isinstance(b, float) and b == 0.0)
+
+            BP = [[sum(B[i][k] * P_[k][j] for k in range(D) if nz(B[i][k]))
+                   for j in range(D)] for i in range(D)]
+            P = [[sum(BP[i][k] * B[j][k] for k in range(D) if nz(B[j][k]))
+                  + v_k * K[i] * K[j]
+                  for j in range(D)] for i in range(D)]
+            acc = acc - 0.5 * (jnp.log(2.0 * jnp.pi * S) + innov * innov / S)
+            return m, P, acc
+
+        def predict(m, P, Phi_e, Q_e):
+            mp = [sum(Phi_e[i][k] * m[k]
+                      for k in range(D) if Phi_e[i][k] is not None)
+                  for i in range(D)]
+            PhiP = [[sum(Phi_e[i][k] * P[k][j]
+                         for k in range(D) if Phi_e[i][k] is not None)
+                     for j in range(D)] for i in range(D)]
+            Pp = [[sum(PhiP[i][k] * Phi_e[j][k]
+                       for k in range(D) if Phi_e[j][k] is not None)
+                   + (Q_e[i][j] if Q_e[i][j] is not None else 0.0)
+                   for j in range(D)] for i in range(D)]
+            return mp, Pp
+
+        # Step 0 observes the stationary prior directly.
+        m, P, acc = obs_update(m0, P0, r[0], v[0], zero)
+
+        def step(carry, inp):
+            dt_k, y_k, v_k = inp
+            m, P, acc = unflatten(carry)
+            Phi_e, Q_e, _, _ = _build_system_entries(terms, sig_rates, dt_k)
+            mp, Pp = predict(m, P, Phi_e, Q_e)
+            m, P, acc = obs_update(mp, Pp, y_k, v_k, acc)
+            return flatten(m, P, acc), None
+
+        # remat: the only per-step residual is the carry itself; the
+        # (cheap, VPU-scalar) step body recomputes in the backward pass.
+        carry, _ = jax.lax.scan(
+            jax.checkpoint(step), flatten(m, P, acc),
+            (dt_all, r[1:], v[1:]), unroll=_scan_unroll(),
+        )
+        return carry[-1]
+
+    return ll
 
 
 # -- small-matrix helpers ------------------------------------------------------
@@ -412,7 +591,7 @@ def kalman_filter(Phi, Q, Pinf, H, y, v):
     # dispatch latency dominates; unrolling amortizes it ~UNROLL-fold in
     # both the forward scan and its transposed backward scan.
     (_, _), out = jax.lax.scan(
-        step, (m0, Pinf), (Phi, Q, y, v), unroll=_SCAN_UNROLL
+        step, (m0, Pinf), (Phi, Q, y, v), unroll=_scan_unroll()
     )
     return out
 
@@ -432,7 +611,7 @@ def rts_smoother_means(Phi, Q, Pinf, H, y, v):
     # reverse=True runs last-to-first but stacks outputs in forward order.
     inputs = (m_f[:-1], P_f[:-1], Phi, m_p[1:], P_p[1:])
     _, m_s_head = jax.lax.scan(
-        back, m_f[-1], inputs, reverse=True, unroll=_SCAN_UNROLL
+        back, m_f[-1], inputs, reverse=True, unroll=_scan_unroll()
     )
     return jnp.concatenate([m_s_head, m_f[-1:]], axis=0)
 
@@ -637,7 +816,7 @@ def state_space_apply_sqrt_fn(node):
             m0 = jnp.zeros((D,), dtype)
             _, ys = _jax.lax.scan(
                 step, (m0, Pinf), (Phi_all, Q_all, z, v),
-                unroll=_SCAN_UNROLL,
+                unroll=_scan_unroll(),
             )
             return ys
 
@@ -685,12 +864,13 @@ def state_space_loglike_fn(node, method="parallel"):
     ``t`` must be sorted ascending (1-D), ``r`` the mean-subtracted targets,
     ``v`` the per-point observation variance (yerr^2 + white noise).
     Raises :class:`StateSpaceUnsupported` for non-Markovian trees.
+
+    ``method``: ``"sequential"`` (default for sampling workloads) is the
+    scalarized chains-in-lanes scan; ``"parallel"`` the associative-scan
+    filter (O(log N) depth — wins for few-chain large-N calls);
+    ``"sequential_stacked"`` the stacked (M, d, d) oracle filter.
     """
     terms = extract_terms(node)
-    kernel_fn = (
-        _kalman_loglike_parallel if method == "parallel"
-        else _kalman_loglike_sequential
-    )
 
     if not terms:
         def ll_empty(th_kernel, t, r, v):
@@ -698,6 +878,14 @@ def state_space_loglike_fn(node, method="parallel"):
                 -0.5 * (jnp.log(2.0 * jnp.pi * v) + r * r / v)
             )
         return ll_empty
+
+    if method == "sequential":
+        return _kalman_loglike_scalarized(terms)
+
+    kernel_fn = (
+        _kalman_loglike_parallel if method == "parallel"
+        else _kalman_loglike_sequential
+    )
 
     @_full_precision
     def ll(th_kernel, t, r, v):

@@ -251,3 +251,30 @@ def test_state_space_apply_sqrt_covariance():
     # And GP.sample runs through it.
     s = gp_ss.sample(size=3)
     assert s.shape == (3, len(t))
+
+
+# Three cases cover every term family and state dims 1..7 (compile time on
+# the x64 CPU oracle path is the limiter).
+@pytest.mark.parametrize("name", ["exp", "cosine_plus", "sum3"])
+def test_scalarized_matches_stacked_filter(name):
+    """The chains-in-lanes scalarized scan is the same filter as the stacked
+    (M, d, d) oracle — values and hyperparameter gradients agree exactly."""
+    t, y, yerr = _dataset(n=150, seed=7)
+    gp = george.GP(
+        KERNELS[name](), white_noise=np.log(1e-3), fit_white_noise=True
+    )
+    node = gp.kernel.spec_node()
+    theta = jnp.asarray(gp.kernel.get_parameter_vector(include_frozen=True))
+    r = jnp.asarray(y)
+    v = jnp.asarray(yerr**2 + 1e-3)
+    tt = jnp.asarray(t)
+
+    ll_scal = state_space_loglike_fn(node, method="sequential")
+    ll_stack = state_space_loglike_fn(node, method="sequential_stacked")
+    np.testing.assert_allclose(
+        float(ll_scal(theta, tt, r, v)), float(ll_stack(theta, tt, r, v)),
+        rtol=1e-12,
+    )
+    g_scal = np.asarray(jax.grad(ll_scal)(theta, tt, r, v))
+    g_stack = np.asarray(jax.grad(ll_stack)(theta, tt, r, v))
+    np.testing.assert_allclose(g_scal, g_stack, rtol=1e-8, atol=1e-10)
