@@ -88,8 +88,12 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
     v_target = _distributed(_v_target)
     v_init = _distributed(_v_init)
 
-    def tempered(thetas, lam):
-        return lam * v_target(thetas) + (1.0 - lam) * v_init(thetas)
+    def components(thetas):
+        """(log target, log init) with NaNs mapped to -inf (rejection)."""
+        lt = v_target(thetas)
+        li = v_init(thetas)
+        return (jnp.where(jnp.isnan(lt), -jnp.inf, lt),
+                jnp.where(jnp.isnan(li), -jnp.inf, li))
 
     def choose_lambda(lam, delta_logw):
         """Largest new lambda in (lam, 1] keeping ESS >= target (bisection)."""
@@ -118,8 +122,13 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
         lo, hi, _ = jax.lax.while_loop(cond, body, carry0)
         return jnp.where(full, jnp.asarray(1.0, dtype), lo)
 
-    def mutate(key, thetas, lam):
-        """Random-walk MH at temperature lam, cloud-covariance proposals."""
+    def mutate(key, thetas, lt, li, lam):
+        """Random-walk MH at temperature lam, cloud-covariance proposals.
+
+        ``lt``/``li`` are the carried target/init log densities at
+        ``thetas`` — the current state's density is never recomputed, so
+        each MH step costs ONE target evaluation (the proposal), not two.
+        """
         mean = jnp.mean(thetas, axis=0)
         centered = thetas - mean
         cov = centered.T @ centered / n
@@ -127,41 +136,42 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
         chol = jnp.linalg.cholesky(cov) * rw_scale
 
         def one(carry, key_t):
-            thetas, accepts = carry
+            thetas, lt, li, accepts = carry
             key_p, key_u = jax.random.split(key_t)
             eps = jax.random.normal(key_p, (n, dim), dtype)
             prop = thetas + eps @ chol.T
-            logp_old = tempered(thetas, lam)
-            logp_new = tempered(prop, lam)
-            delta = logp_new - logp_old
+            lt_new, li_new = components(prop)
+            delta = lam * (lt_new - lt) + (1.0 - lam) * (li_new - li)
             delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
             u = jax.random.uniform(key_u, (n,), dtype)
             take = jnp.log(u) < delta
             thetas = jnp.where(take[:, None], prop, thetas)
-            return (thetas, accepts + jnp.mean(take)), None
+            lt = jnp.where(take, lt_new, lt)
+            li = jnp.where(take, li_new, li)
+            return (thetas, lt, li, accepts + jnp.mean(take)), None
 
         keys = jax.random.split(key, num_mutations)
         from .._vma import pvary_like
 
         carry0 = pvary_like(
-            (thetas, jnp.zeros((), dtype)), thetas, lam
+            (thetas, lt, li, jnp.zeros((), dtype)), thetas, lam
         )
-        (thetas, accepts), _ = jax.lax.scan(one, carry0, keys)
-        return thetas, accepts / num_mutations
+        (thetas, lt, li, accepts), _ = jax.lax.scan(one, carry0, keys)
+        return thetas, lt, li, accepts / num_mutations
 
     @jax.jit
     def _run(particles0, key):
         def cond(carry):
-            thetas, lam, logz, stage, accept, key = carry
+            thetas, lt, li, lam, logz, stage, accept, key = carry
             return (lam < 1.0) & (stage < max_stages)
 
         def body(carry):
-            thetas, lam, logz, stage, accept, key = carry
+            thetas, lt, li, lam, logz, stage, accept, key = carry
             key, key_rs, key_mut = jax.random.split(key, 3)
 
-            delta_logw = v_target(thetas) - v_init(thetas)
+            # Carried densities make the incremental weights free.
             delta_logw = jnp.where(
-                jnp.isnan(delta_logw), -jnp.inf, delta_logw
+                jnp.isinf(li) & (li < 0), -jnp.inf, lt - li
             )
             new_lam = choose_lambda(lam, delta_logw)
             log_w = (new_lam - lam) * delta_logw
@@ -169,10 +179,14 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
 
             parents = _systematic_resample(key_rs, log_w)
             thetas = thetas[parents]
-            thetas, accept = mutate(key_mut, thetas, new_lam)
-            return thetas, new_lam, logz, stage + 1, accept, key
+            lt = lt[parents]
+            li = li[parents]
+            thetas, lt, li, accept = mutate(key_mut, thetas, lt, li, new_lam)
+            return thetas, lt, li, new_lam, logz, stage + 1, accept, key
 
-        init = (particles0, jnp.zeros((), dtype), jnp.zeros((), dtype),
+        lt0, li0 = components(particles0)
+        init = (particles0, lt0, li0,
+                jnp.zeros((), dtype), jnp.zeros((), dtype),
                 jnp.zeros((), jnp.int32), jnp.zeros((), dtype), key)
         if axis_name is not None:
             # shard_map vma discipline: the loop body produces values typed
@@ -183,12 +197,12 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
             init = jax.tree_util.tree_map(
                 lambda x: _pvary_axis(x, axis_name), init
             )
-        thetas, lam, logz, stage, accept, _ = jax.lax.while_loop(
+        thetas, lt, li, lam, logz, stage, accept, _ = jax.lax.while_loop(
             cond, body, init
         )
         out = SMCResult(
             particles=thetas,
-            log_prob=v_target(thetas),
+            log_prob=lt,
             log_evidence=logz,
             num_stages=stage,
             acceptance=accept,
