@@ -31,8 +31,16 @@ def main():
     result = minimize(gp.nll, gp.get_parameter_vector(),
                       jac=gp.grad_nll, args=(y,))
     gp.set_parameter_vector(result.x)
-    print("optimized NLL: {0:.6f}".format(result.fun))
+    print("optimized NLL (scipy): {0:.6f}".format(result.fun))
     print("parameters:", gp.get_parameter_dict())
+
+    # The same optimization fully on device: the whole L-BFGS run is one
+    # jitted XLA program (and restarts batch under vmap — see
+    # george_tpu.optimize.minimize(restarts=...)).
+    gp.set_parameter_vector(np.log([np.var(y), 0.5]))
+    res = george.optimize.minimize(gp, y)
+    print("optimized NLL (on-device L-BFGS): {0:.6f} "
+          "in {1} iterations".format(res.fun, res.nit))
 
 
 if __name__ == "__main__":

@@ -20,9 +20,24 @@ __all__ = [
     "TrivialSolver",
     "BasicSolver",
     "HODLRSolver",
+    "StateSpaceSolver",
+    "optimize",
 ]
 
 from . import kernels
 from .gp import GP
 from .metrics import Metric
-from .solvers import TrivialSolver, BasicSolver, HODLRSolver
+from .solvers import (
+    TrivialSolver, BasicSolver, HODLRSolver, StateSpaceSolver
+)
+
+
+def __getattr__(name):
+    # Lazy: the optimizer pulls in optax, which not every GP user needs.
+    if name == "optimize":
+        import importlib
+
+        module = importlib.import_module(".optimize", __name__)
+        globals()["optimize"] = module
+        return module
+    raise AttributeError(name)

@@ -147,7 +147,7 @@ class Metric(Model):
     def __repr__(self):
         vector = self.get_parameter_vector(include_frozen=True)
         if self.metric_type == 0:
-            head = "{0}".format(float(np.exp(vector)))
+            head = "{0}".format(float(np.exp(vector[0])))
         elif self.metric_type == 1:
             head = repr(np.exp(vector))
         else:
