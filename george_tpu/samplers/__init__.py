@@ -17,6 +17,7 @@ Quick start::
 from .logprob import build_gp_log_prob, traceable_model_fn
 from .hmc import HMCState, hmc_step, leapfrog, new_state
 from .nuts import nuts_step, NUTSInfo
+from .chees import chees_step, ChEESInfo
 from .mcmc import run_mcmc, MCMCResult
 from .diagnostics import split_rhat, effective_sample_size, summary
 
@@ -24,6 +25,7 @@ __all__ = [
     "build_gp_log_prob", "traceable_model_fn",
     "HMCState", "hmc_step", "leapfrog", "new_state",
     "nuts_step", "NUTSInfo",
+    "chees_step", "ChEESInfo",
     "run_mcmc", "MCMCResult",
     "split_rhat", "effective_sample_size", "summary",
 ]

@@ -52,15 +52,48 @@ class _Pieces(NamedTuple):
 
     chain_init: object
     init_step_size: object
-    warm_step: object           # (carry, (in_win, win_end)) -> (carry, None)
-    draw_step: object           # (carry, _, eps, inv_mass) -> (carry, outs)
-    schedule: tuple             # (in_window, window_end) numpy arrays
+    warm_step: object    # (carry, (in_win, win_end, idx)) -> (carry, None)
+    draw_step: object    # (carry, _, eps, inv_mass, extra) -> (carry, outs)
+    schedule: tuple      # (in_window, window_end) numpy arrays
+    extra_init: object   # eps0 -> algorithm-specific warmup state (or ())
+
+
+def _mass_window_update(da, welford, inv_mass, states, in_win, win_end,
+                        dim, dense_mass, dtype, axis_name):
+    """Stan's windowed Welford mass adaptation + per-window DA reset."""
+    updated = adapt.welford_update_batch(
+        welford, states.z, axis_name=axis_name
+    )
+    welford = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(in_win, new, old), updated, welford,
+    )
+    new_mass = adapt.welford_variance(welford)
+    inv_mass = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(win_end, new, old), new_mass, inv_mass,
+    )
+    # Reset the accumulator and re-center the step size search at each
+    # window boundary (Stan's scheme).
+    welford = jax.tree_util.tree_map(
+        lambda w, z: jnp.where(win_end, z, w),
+        welford, adapt.welford_init(dim, dense=dense_mass, dtype=dtype),
+    )
+    da = jax.tree_util.tree_map(
+        lambda fresh, old: jnp.where(win_end, fresh, old),
+        adapt.da_init(jnp.exp(da.log_step)), da,
+    )
+    return da, welford, inv_mass
 
 
 def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
                   algorithm, target_accept, max_depth, num_leapfrog,
                   dense_mass, axis_name, adapt_mass):
     vg = jax.value_and_grad(log_prob)
+
+    if algorithm == "chees":
+        return _build_chees_pieces(
+            vg, num_chains, dim, dtype, num_warmup, target_accept,
+            num_leapfrog, dense_mass, axis_name, adapt_mass,
+        )
 
     if algorithm == "nuts":
         def kernel(key, state, eps, inv_mass):
@@ -89,8 +122,8 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
         return eps
 
     def warm_step(carry, inputs):
-        states, da, welford, inv_mass, key = carry
-        in_win, win_end = inputs
+        states, da, welford, inv_mass, extra, key = carry
+        in_win, win_end, _ = inputs
         key, sub = jax.random.split(key)
         step_keys = jax.random.split(sub, num_chains)
         eps = jnp.exp(da.log_step)
@@ -102,32 +135,13 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
         )
 
         if adapt_mass:
-            updated = adapt.welford_update_batch(
-                welford, states.z, axis_name=axis_name
+            da, welford, inv_mass = _mass_window_update(
+                da, welford, inv_mass, states, in_win, win_end,
+                dim, dense_mass, dtype, axis_name,
             )
-            welford = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(in_win, new, old),
-                updated, welford,
-            )
-            new_mass = adapt.welford_variance(welford)
-            inv_mass = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(win_end, new, old),
-                new_mass, inv_mass,
-            )
-            # Reset the accumulator and re-center the step size search at
-            # each window boundary (Stan's scheme).
-            welford = jax.tree_util.tree_map(
-                lambda w, z: jnp.where(win_end, z, w),
-                welford,
-                adapt.welford_init(dim, dense=dense_mass, dtype=dtype),
-            )
-            da = jax.tree_util.tree_map(
-                lambda fresh, old: jnp.where(win_end, fresh, old),
-                adapt.da_init(jnp.exp(da.log_step)), da,
-            )
-        return (states, da, welford, inv_mass, key), None
+        return (states, da, welford, inv_mass, extra, key), None
 
-    def draw_step(carry, _, eps, inv_mass):
+    def draw_step(carry, _, eps, inv_mass, extra):
         states, key = carry
         key, sub = jax.random.split(key)
         step_keys = jax.random.split(sub, num_chains)
@@ -138,11 +152,79 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
 
     schedule = adapt.build_schedule(num_warmup)
     return _Pieces(chain_init, init_step_size, warm_step, draw_step,
-                   schedule)
+                   schedule, lambda eps0: ())
+
+
+def _build_chees_pieces(vg, num_chains, dim, dtype, num_warmup,
+                        target_accept, max_leapfrog, dense_mass, axis_name,
+                        adapt_mass):
+    """ChEES-HMC: one shared jittered trajectory for the whole batch.
+
+    The kernel is batch-level (cross-chain means feed the trajectory
+    gradient), so the vmap lives inside :func:`chees.chees_step`.
+    """
+    from . import chees
+
+    def chain_init(z):
+        logp, grad = vg(z)
+        return HMCState(z, logp, grad)
+
+    def init_step_size(states, inv_mass, key):
+        state0 = jax.tree_util.tree_map(lambda s: s[0], states)
+        eps = adapt.find_reasonable_step_size(vg, state0, inv_mass, key)
+        if axis_name is not None:
+            eps = jax.lax.pmean(eps, axis_name)
+        return eps
+
+    def warm_step(carry, inputs):
+        states, da, welford, inv_mass, traj, key = carry
+        in_win, win_end, idx = inputs
+        key, sub = jax.random.split(key)
+        eps = jnp.exp(da.log_step)
+        # Shared quasi-random jitter: all chains run u * T this iteration.
+        u = chees.halton_sequence(idx).astype(dtype)
+        t = u * jnp.exp(traj.log_t)
+        states, info = chees.chees_step(
+            sub, states, vg, eps, inv_mass, t,
+            max_leapfrog=max_leapfrog, axis_name=axis_name,
+        )
+        da = adapt.da_update(
+            da, _cross_mean(info.accept_prob, axis_name),
+            target=target_accept,
+        )
+        traj = chees.traj_update(
+            traj, info.grad_log_t, jnp.exp(da.log_step), max_leapfrog
+        )
+        if adapt_mass:
+            da, welford, inv_mass = _mass_window_update(
+                da, welford, inv_mass, states, in_win, win_end,
+                dim, dense_mass, dtype, axis_name,
+            )
+        return (states, da, welford, inv_mass, traj, key), None
+
+    def draw_step(carry, _, eps, inv_mass, traj):
+        states, key = carry
+        key, sub, key_u = jax.random.split(key, 3)
+        u = jax.random.uniform(key_u, dtype=dtype)
+        t = u * jnp.exp(traj.log_t_avg)
+        states, info = chees.chees_step(
+            sub, states, vg, eps, inv_mass, t,
+            max_leapfrog=max_leapfrog, axis_name=axis_name,
+        )
+        nleap = jnp.broadcast_to(info.n_leapfrog, (num_chains,))
+        out = (states.z, states.logp, info.accept_prob,
+               info.diverging, nleap)
+        return (states, key), out
+
+    schedule = adapt.build_schedule(num_warmup)
+    # Initial trajectory = one step; the Adam ascent grows it quickly.
+    extra_init = lambda eps0: chees.traj_init(eps0)
+    return _Pieces(chain_init, init_step_size, warm_step, draw_step,
+                   schedule, extra_init)
 
 
 def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
-                   num_samples=500, algorithm="nuts", target_accept=0.8,
+                   num_samples=500, algorithm="nuts", target_accept=None,
                    max_depth=10, num_leapfrog=32, dense_mass=False,
                    step_size=None, axis_name=None, adapt_mass=True):
     """Build the traceable single-program ``core(z0, key)``.
@@ -151,6 +233,7 @@ def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
     chain-sharded mesh (:func:`george_tpu.parallel.run_mcmc_sharded`,
     passing ``axis_name`` so adaptation pools across devices).
     """
+    target_accept = _default_target(algorithm, target_accept)
     pieces = _build_pieces(
         log_prob, num_chains, dim, dtype, num_warmup, algorithm,
         target_accept, max_depth, num_leapfrog, dense_mass, axis_name,
@@ -174,16 +257,18 @@ def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
 
         da = adapt.da_init(eps0)
         welford = adapt.welford_init(dim, dense=dense_mass, dtype=dtype)
-        carry = (states, da, welford, init_inv_mass, key_warm)
+        extra = pieces.extra_init(eps0)
+        carry = (states, da, welford, init_inv_mass, extra, key_warm)
         if num_warmup > 0:
+            idx = jnp.arange(num_warmup, dtype=jnp.int32)
             carry, _ = jax.lax.scan(
-                pieces.warm_step, carry, (in_window, window_end)
+                pieces.warm_step, carry, (in_window, window_end, idx)
             )
-        states, da, _, inv_mass, _ = carry
+        states, da, _, inv_mass, extra, _ = carry
         eps = jnp.exp(da.log_step_avg) if num_warmup > 0 else eps0
 
         def draw(carry, _):
-            return pieces.draw_step(carry, _, eps, inv_mass)
+            return pieces.draw_step(carry, _, eps, inv_mass, extra)
 
         (states, _), outs = jax.lax.scan(
             draw, (states, key_main), None, length=num_samples
@@ -191,6 +276,14 @@ def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
         return _pack_result(outs, eps, inv_mass, stacked_first=True)
 
     return core
+
+
+def _default_target(algorithm, target_accept):
+    if target_accept is not None:
+        return target_accept
+    # 0.651 is optimal for jittered-trajectory HMC (ChEES paper §4);
+    # 0.8 is Stan's default for NUTS/HMC.
+    return 0.651 if algorithm == "chees" else 0.8
 
 
 def _pack_result(outs, eps, inv_mass, stacked_first):
@@ -233,24 +326,26 @@ def _run_blocked(pieces, z0, key, num_warmup, num_samples, block_size,
 
     da = adapt.da_init(eps0)
     welford = adapt.welford_init(dim, dense=dense_mass, dtype=dtype)
-    carry = (states, da, welford, init_inv_mass, key_warm)
+    extra = pieces.extra_init(eps0)
+    carry = (states, da, welford, init_inv_mass, extra, key_warm)
     for start in range(0, num_warmup, block_size):
         stop = min(start + block_size, num_warmup)
         flags = (jnp.asarray(in_window[start:stop]),
-                 jnp.asarray(window_end[start:stop]))
+                 jnp.asarray(window_end[start:stop]),
+                 jnp.arange(start, stop, dtype=jnp.int32))
         carry = warm_block(carry, flags)
         if progress:
             jax.tree_util.tree_leaves(carry)[0].block_until_ready()
             progress("warmup", stop, num_warmup)
-    states, da, _, inv_mass, _ = carry
+    states, da, _, inv_mass, extra, _ = carry
     eps = jnp.exp(da.log_step_avg) if num_warmup > 0 else eps0
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(3,))
-    def draw_block(carry, eps, inv_mass, n):
+    @partial(jax.jit, static_argnums=(4,))
+    def draw_block(carry, eps, inv_mass, extra, n):
         return jax.lax.scan(
-            lambda c, _: pieces.draw_step(c, _, eps, inv_mass),
+            lambda c, _: pieces.draw_step(c, _, eps, inv_mass, extra),
             carry, None, length=n,
         )
 
@@ -259,7 +354,7 @@ def _run_blocked(pieces, z0, key, num_warmup, num_samples, block_size,
     done = 0
     while done < num_samples:
         n = min(block_size, num_samples - done)
-        carry, outs = draw_block(carry, eps, inv_mass, n)
+        carry, outs = draw_block(carry, eps, inv_mass, extra, n)
         collected.append(jax.tree_util.tree_map(np.asarray, outs))
         done += n
         if progress:
@@ -272,7 +367,7 @@ def _run_blocked(pieces, z0, key, num_warmup, num_samples, block_size,
 
 
 def run_mcmc(log_prob, z0, key, num_warmup=500, num_samples=500,
-             algorithm="nuts", target_accept=0.8, max_depth=10,
+             algorithm="nuts", target_accept=None, max_depth=10,
              num_leapfrog=32, dense_mass=False, step_size=None,
              adapt_mass=True, block_size=None, progress=None):
     """Run warmup + sampling for a batch of chains on one device.
@@ -280,6 +375,12 @@ def run_mcmc(log_prob, z0, key, num_warmup=500, num_samples=500,
     :param log_prob: traceable scalar density of one parameter vector.
     :param z0: (chains, dim) initial positions.
     :param key: PRNG key (one; chain keys are split internally).
+    :param algorithm: ``"nuts"`` (iterative masked tree NUTS),
+        ``"hmc"`` (fixed ``num_leapfrog`` trajectories), or ``"chees"``
+        (ChEES-HMC — shared jittered trajectory length adapted by gradient
+        ascent on the ChEES criterion, every chain in lockstep; here
+        ``num_leapfrog`` is the per-iteration leapfrog *cap* and
+        ``target_accept`` defaults to 0.651).
     :param block_size: if set, execute in host-driven segments of this many
         transitions (bounded device executions; progress callbacks).
     :returns: :class:`MCMCResult` with per-chain draws and diagnostics.
@@ -301,8 +402,8 @@ def run_mcmc(log_prob, z0, key, num_warmup=500, num_samples=500,
 
     pieces = _build_pieces(
         log_prob, num_chains, dim, z0.dtype, num_warmup, algorithm,
-        target_accept, max_depth, num_leapfrog, dense_mass, None,
-        adapt_mass,
+        _default_target(algorithm, target_accept), max_depth,
+        num_leapfrog, dense_mass, None, adapt_mass,
     )
     return _run_blocked(
         pieces, z0, jnp.asarray(key), num_warmup, num_samples, block_size,

@@ -123,3 +123,17 @@ def test_smc_sharded_matches_single_device():
     np.testing.assert_allclose(
         float(res8.log_evidence), float(res1.log_evidence), rtol=1e-10
     )
+
+
+def test_chain_sharded_chees_moments():
+    # ChEES pools its trajectory-gradient and accept statistics across the
+    # mesh (pmean inside chees_step); moments must still be exact.
+    mesh = chain_mesh()
+    key = jax.random.PRNGKey(3)
+    z0 = jax.random.normal(key, (64, 2))
+    res = run_mcmc_sharded(gaussian_log_prob, None, z0, key, mesh,
+                           algorithm="chees",
+                           num_warmup=300, num_samples=300)
+    s = summary(res.samples)
+    assert np.all(np.abs(np.asarray(s["mean"]) - MU) < 0.06)
+    assert np.all(np.asarray(s["rhat"]) < 1.05)

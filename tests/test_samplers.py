@@ -218,3 +218,83 @@ def test_custom_jax_value_mean_model():
     g_pure = np.asarray(jax.grad(log_prob)(theta0))
     g_api = gp.grad_log_likelihood(y)
     assert np.allclose(g_pure, g_api, rtol=1e-7, atol=1e-9)
+
+
+def test_chees_gaussian_moments():
+    key = jax.random.PRNGKey(7)
+    z0 = jax.random.normal(key, (64, 2))
+    res = run_mcmc(gaussian_log_prob, z0, key, algorithm="chees",
+                   num_warmup=400, num_samples=400)
+    s = summary(res.samples)
+    assert np.all(np.abs(np.asarray(s["mean"]) - MU) < 0.05)
+    assert np.all(
+        np.abs(np.asarray(s["std"]) - np.sqrt(np.diag(A))) < 0.08
+    )
+    assert np.all(np.asarray(s["rhat"]) < 1.02)
+    assert float(res.diverging.mean()) < 0.01
+    # The adapted trajectory is shared: n_leapfrog is constant across chains
+    # at each draw (lockstep by construction).
+    nleap = np.asarray(res.n_leapfrog)
+    assert np.all(nleap == nleap[:1, :])
+
+
+def test_chees_matches_nuts_on_gp_posterior(seed=5, N=48):
+    # Same GP posterior sampled by NUTS and ChEES-HMC must agree within
+    # MC error (cross-sampler oracle, like the reference's Basic-vs-HODLR
+    # cross-solver checks).
+    np.random.seed(seed)
+    x = np.sort(np.random.uniform(0, 10, N))
+    yerr = 0.1 * np.ones(N)
+    gp = george.GP(
+        1.0 * kernels.Matern32Kernel(1.0),
+        white_noise=np.log(1e-4), fit_white_noise=True,
+    )
+    y = gp.sample(x) + yerr * np.random.randn(N)
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+    center = jnp.asarray(theta0)
+
+    def lp(th):
+        return log_prob(th) - 0.5 * jnp.sum(((th - center) / 3.0) ** 2)
+
+    key = jax.random.PRNGKey(1)
+    z0 = center[None, :] + 0.1 * jax.random.normal(
+        key, (32, len(theta0))
+    )
+    res_n = run_mcmc(lp, z0, key, num_warmup=200, num_samples=200,
+                     max_depth=8)
+    res_c = run_mcmc(lp, z0, key, num_warmup=300, num_samples=300,
+                     algorithm="chees")
+    m_n = np.asarray(summary(res_n.samples)["mean"])
+    m_c = np.asarray(summary(res_c.samples)["mean"])
+    sd = np.asarray(summary(res_n.samples)["std"])
+    assert np.all(np.abs(m_n - m_c) < 0.25 * sd + 0.05)
+
+
+def test_chees_trajectory_grows_beyond_one_step():
+    # On a wide Gaussian the optimal trajectory is >> one leapfrog step;
+    # the ChEES adaptation must discover that (T_avg >> eps).
+    key = jax.random.PRNGKey(9)
+    z0 = jax.random.normal(key, (64, 2))
+    res = run_mcmc(gaussian_log_prob, z0, key, algorithm="chees",
+                   num_warmup=400, num_samples=100)
+    assert float(np.mean(np.asarray(res.n_leapfrog))) > 2.0
+
+
+def test_halton_stratifies():
+    from george_tpu.samplers.chees import halton_sequence
+
+    u = np.asarray(halton_sequence(np.arange(256)))
+    assert u.min() >= 0.0 and u.max() < 1.0
+    # Van der Corput: any dyadic interval of width 1/16 gets 256/16 points.
+    counts, _ = np.histogram(u, bins=16, range=(0.0, 1.0))
+    assert np.all(counts == 16)
+
+
+def test_chees_blocked_execution_matches_fused():
+    key = jax.random.PRNGKey(11)
+    z0 = jax.random.normal(key, (16, 2))
+    kw = dict(num_warmup=150, num_samples=100, algorithm="chees")
+    res_f = run_mcmc(gaussian_log_prob, z0, key, **kw)
+    res_b = run_mcmc(gaussian_log_prob, z0, key, block_size=37, **kw)
+    assert np.allclose(np.asarray(res_f.samples),
+                       np.asarray(res_b.samples))
