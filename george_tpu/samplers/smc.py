@@ -44,6 +44,7 @@ def _ess(log_w):
 
 def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
             target_ess_frac=0.5, max_stages=100, rw_scale=0.5,
+            mutation="rw", num_leapfrog=8, hmc_step_scale=0.6,
             axis_name=None):
     """Anneal particles from ``exp(log_init_prob)`` to ``exp(log_prob)``.
 
@@ -51,9 +52,17 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
     :param log_init_prob: traceable log density the particles were drawn
         from (tempering path: (1-lam) * init + lam * target).
     :param particles0: (num_particles, dim) draws from the init density.
-    :param num_mutations: random-walk MH steps per temperature stage.
+    :param num_mutations: MH / HMC steps per temperature stage.
     :param target_ess_frac: ESS fraction that picks each temperature jump
         (bisection, as in standard adaptive SMC).
+    :param mutation: ``"rw"`` — random-walk MH with cloud-covariance
+        proposals (gradient-free, cheapest per step); ``"hmc"`` — Metropolis
+        HMC with ``num_leapfrog`` leapfrog steps per mutation, mass matrix =
+        inverse cloud covariance (the cloud whitens the tempered target, so
+        the dimensionless ``hmc_step_scale`` transfers across problems).
+        HMC mutations cost ``num_leapfrog`` gradient evaluations each but
+        decorrelate far better per step on smooth unimodal-per-mode
+        posteriors.
     """
     particles0 = jnp.asarray(particles0)
     n, dim = particles0.shape
@@ -61,6 +70,19 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
 
     _v_target = jax.vmap(log_prob)
     _v_init = jax.vmap(log_init_prob)
+
+    def _one_vg(lam_th):
+        lam, th = lam_th
+        lt = log_prob(th)
+        li = log_init_prob(th)
+        return lam * lt + (1.0 - lam) * li, (lt, li)
+
+    def _v_tempered_vg(thetas, lam):
+        lams = jnp.broadcast_to(lam, (thetas.shape[0],))
+        (vals, (lts, lis)), grads = jax.vmap(
+            jax.value_and_grad(_one_vg, has_aux=True)
+        )((lams, thetas))
+        return vals, lts, lis, grads[1]
 
     def _distributed(vf):
         """Evaluate a particle-batched density sharded over the mesh.
@@ -75,18 +97,22 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
         if axis_name is None:
             return vf
 
-        def sharded(thetas):
+        def sharded(thetas, *rest):
             n_loc = thetas.shape[0] // jax.lax.axis_size(axis_name)
             start = jax.lax.axis_index(axis_name) * n_loc
             local = jax.lax.dynamic_slice_in_dim(thetas, start, n_loc)
-            return jax.lax.all_gather(
-                vf(local), axis_name, axis=0, tiled=True
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.all_gather(
+                    a, axis_name, axis=0, tiled=True
+                ),
+                vf(local, *rest),
             )
 
         return sharded
 
     v_target = _distributed(_v_target)
     v_init = _distributed(_v_init)
+    v_tempered_vg = _distributed(_v_tempered_vg)
 
     def components(thetas):
         """(log target, log init) with NaNs mapped to -inf (rejection)."""
@@ -122,12 +148,13 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
         lo, hi, _ = jax.lax.while_loop(cond, body, carry0)
         return jnp.where(full, jnp.asarray(1.0, dtype), lo)
 
-    def mutate(key, thetas, lt, li, lam):
+    def mutate(key, thetas, lt, li, lam, log_scale):
         """Random-walk MH at temperature lam, cloud-covariance proposals.
 
         ``lt``/``li`` are the carried target/init log densities at
         ``thetas`` — the current state's density is never recomputed, so
         each MH step costs ONE target evaluation (the proposal), not two.
+        ``log_scale`` is the cross-stage acceptance-adapted multiplier.
         """
         mean = jnp.mean(thetas, axis=0)
         centered = thetas - mean
@@ -136,10 +163,10 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
         chol = jnp.linalg.cholesky(cov) * rw_scale
 
         def one(carry, key_t):
-            thetas, lt, li, accepts = carry
+            thetas, lt, li, accepts, log_scale = carry
             key_p, key_u = jax.random.split(key_t)
             eps = jax.random.normal(key_p, (n, dim), dtype)
-            prop = thetas + eps @ chol.T
+            prop = thetas + jnp.exp(log_scale) * (eps @ chol.T)
             lt_new, li_new = components(prop)
             delta = lam * (lt_new - lt) + (1.0 - lam) * (li_new - li)
             delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
@@ -148,25 +175,114 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
             thetas = jnp.where(take[:, None], prop, thetas)
             lt = jnp.where(take, lt_new, lt)
             li = jnp.where(take, li_new, li)
-            return (thetas, lt, li, accepts + jnp.mean(take)), None
+            acc = jnp.mean(jnp.minimum(1.0, jnp.exp(delta)))
+            log_scale = _adapt_scale(log_scale, acc)
+            return (thetas, lt, li, accepts + jnp.mean(take),
+                    log_scale), None
 
         keys = jax.random.split(key, num_mutations)
         from .._vma import pvary_like
 
         carry0 = pvary_like(
-            (thetas, lt, li, jnp.zeros((), dtype)), thetas, lam
+            (thetas, lt, li, jnp.zeros((), dtype), log_scale), thetas, lam
         )
-        (thetas, lt, li, accepts), _ = jax.lax.scan(one, carry0, keys)
-        return thetas, lt, li, accepts / num_mutations
+        (thetas, lt, li, accepts, log_scale), _ = jax.lax.scan(
+            one, carry0, keys
+        )
+        return thetas, lt, li, accepts / num_mutations, log_scale
+
+    def mutate_hmc(key, thetas, lt, li, lam, log_scale):
+        """Metropolis-HMC mutation at temperature lam.
+
+        Mass matrix = inverse cloud covariance: momenta are drawn with the
+        cloud's covariance as M^{-1}, which whitens the tempered target, so
+        one dimensionless step size serves every stage.  Each mutation is
+        ``num_leapfrog`` gradient evaluations of the tempered density.
+        """
+        mean = jnp.mean(thetas, axis=0)
+        centered = thetas - mean
+        cov = centered.T @ centered / n
+        inv_mass = cov + 1e-10 * jnp.eye(dim, dtype=dtype)  # M^{-1} = cov
+        # Whitened step: leapfrog stability needs eps < 2 in whitened units;
+        # scale down with dimension as d^{-1/4} (standard HMC scaling).
+        eps_base = jnp.asarray(hmc_step_scale, dtype) / (1.0 * dim) ** 0.25
+        chol_im = jnp.linalg.cholesky(inv_mass)
+
+        def velocity(r):
+            return r @ inv_mass.T
+
+        def kinetic(r):
+            return 0.5 * jnp.sum(velocity(r) * r, axis=-1)
+
+        def one(carry, key_t):
+            thetas, lt, li, accepts, log_scale = carry
+            eps = eps_base * jnp.exp(log_scale)
+            key_r, key_u = jax.random.split(key_t)
+            # r ~ N(0, M):  r = L^{-T} eps with L = chol(M^{-1}).
+            eps_n = jax.random.normal(key_r, (n, dim), dtype)
+            r0 = jax.scipy.linalg.solve_triangular(
+                chol_im.T, eps_n.T, lower=False
+            ).T
+
+            val0 = lam * lt + (1.0 - lam) * li
+            _, _, _, grad0 = v_tempered_vg(thetas, lam)
+            energy0 = -val0 + kinetic(r0)
+
+            def leap(carry, _):
+                z, g, r = carry
+                r_half = r + 0.5 * eps * g
+                z_new = z + eps * velocity(r_half)
+                _, _, _, g_new = v_tempered_vg(z_new, lam)
+                r_new = r_half + 0.5 * eps * g_new
+                return (z_new, g_new, r_new), None
+
+            (z1, _, r1), _ = jax.lax.scan(
+                leap, (thetas, grad0, r0), None, length=num_leapfrog,
+            )
+            val1, lt1, li1, _ = v_tempered_vg(z1, lam)
+            energy1 = -val1 + kinetic(r1)
+            delta = energy0 - energy1
+            delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+            u = jax.random.uniform(key_u, (n,), dtype)
+            take = jnp.log(u) < delta
+            thetas = jnp.where(take[:, None], z1, thetas)
+            lt = jnp.where(take, lt1, lt)
+            li = jnp.where(take, li1, li)
+            acc = jnp.mean(jnp.minimum(1.0, jnp.exp(delta)))
+            log_scale = _adapt_scale(log_scale, acc)
+            return (thetas, lt, li, accepts + acc, log_scale), None
+
+        keys = jax.random.split(key, num_mutations)
+        from .._vma import pvary_like
+
+        carry0 = pvary_like(
+            (thetas, lt, li, jnp.zeros((), dtype), log_scale), thetas, lam
+        )
+        (thetas, lt, li, accepts, log_scale), _ = jax.lax.scan(
+            one, carry0, keys
+        )
+        return thetas, lt, li, accepts / num_mutations, log_scale
+
+    accept_target = 0.65 if mutation == "hmc" else 0.234
+
+    def _adapt_scale(log_scale, acc):
+        """Robbins-Monro step-scale tracking toward the optimal acceptance
+        (0.234 RW / 0.65 HMC), one update per mutation step: the cloud
+        covariance over-estimates within-mode scales on multimodal targets,
+        so the measured acceptance — not the cloud — sets the step."""
+        return jnp.clip(
+            log_scale + 1.0 * (acc - accept_target),
+            jnp.log(1e-3), jnp.log(30.0),
+        )
 
     @jax.jit
     def _run(particles0, key):
         def cond(carry):
-            thetas, lt, li, lam, logz, stage, accept, key = carry
+            thetas, lt, li, lam, logz, stage, accept, log_scale, key = carry
             return (lam < 1.0) & (stage < max_stages)
 
         def body(carry):
-            thetas, lt, li, lam, logz, stage, accept, key = carry
+            thetas, lt, li, lam, logz, stage, accept, log_scale, key = carry
             key, key_rs, key_mut = jax.random.split(key, 3)
 
             # Carried densities make the incremental weights free.
@@ -181,13 +297,18 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
             thetas = thetas[parents]
             lt = lt[parents]
             li = li[parents]
-            thetas, lt, li, accept = mutate(key_mut, thetas, lt, li, new_lam)
-            return thetas, lt, li, new_lam, logz, stage + 1, accept, key
+            do_mutate = mutate_hmc if mutation == "hmc" else mutate
+            thetas, lt, li, accept, log_scale = do_mutate(
+                key_mut, thetas, lt, li, new_lam, log_scale
+            )
+            return (thetas, lt, li, new_lam, logz, stage + 1, accept,
+                    log_scale, key)
 
         lt0, li0 = components(particles0)
         init = (particles0, lt0, li0,
                 jnp.zeros((), dtype), jnp.zeros((), dtype),
-                jnp.zeros((), jnp.int32), jnp.zeros((), dtype), key)
+                jnp.zeros((), jnp.int32), jnp.zeros((), dtype),
+                jnp.zeros((), dtype), key)
         if axis_name is not None:
             # shard_map vma discipline: the loop body produces values typed
             # varying (they pass through all_gather), so the replicated
@@ -197,9 +318,8 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
             init = jax.tree_util.tree_map(
                 lambda x: _pvary_axis(x, axis_name), init
             )
-        thetas, lt, li, lam, logz, stage, accept, _ = jax.lax.while_loop(
-            cond, body, init
-        )
+        (thetas, lt, li, lam, logz, stage, accept, _,
+         _) = jax.lax.while_loop(cond, body, init)
         out = SMCResult(
             particles=thetas,
             log_prob=lt,

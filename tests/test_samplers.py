@@ -298,3 +298,49 @@ def test_chees_blocked_execution_matches_fused():
     res_b = run_mcmc(gaussian_log_prob, z0, key, block_size=37, **kw)
     assert np.allclose(np.asarray(res_f.samples),
                        np.asarray(res_b.samples))
+
+
+def test_advi_full_rank_recovers_correlation():
+    # The target IS a correlated Gaussian: full-rank ADVI must recover its
+    # full covariance (mean-field provably cannot represent the off-diag).
+    key = jax.random.PRNGKey(13)
+    res = run_advi(gaussian_log_prob, jnp.zeros(2), key,
+                   num_steps=4000, num_mc=32, learning_rate=5e-3,
+                   full_rank=True)
+    assert np.all(np.abs(np.asarray(res.mean) - MU) < 0.1)
+    cov_q = np.asarray(res.scale_tril @ res.scale_tril.T)
+    assert np.allclose(cov_q, A, atol=0.25)
+    # Marginal stds now match the true marginals (not shrunk).
+    assert np.all(
+        np.abs(np.exp(np.asarray(res.log_std)) - np.sqrt(np.diag(A))) < 0.15
+    )
+    # Samples drawn from the result object reproduce the covariance.
+    s = np.asarray(res.sample(jax.random.PRNGKey(14), 20000))
+    assert np.allclose(np.cov(s.T), A, atol=0.3)
+
+
+def test_smc_hmc_mutations_bimodal():
+    # HMC mutations with the acceptance-adapted step must recover the same
+    # bimodal posterior as random-walk mutations (cross-kernel oracle).
+    def log_prob(z):
+        return jnp.logaddexp(
+            -0.5 * jnp.sum((z - 2.0) ** 2) / 0.1,
+            -0.5 * jnp.sum((z + 2.0) ** 2) / 0.1,
+        )
+
+    def log_init(z):
+        return -0.5 * jnp.sum(z ** 2) / 9.0 - jnp.log(2 * jnp.pi * 9.0)
+
+    key = jax.random.PRNGKey(0)
+    p0 = 3.0 * jax.random.normal(key, (2048, 2))
+    res = run_smc(log_prob, log_init, p0, jax.random.PRNGKey(1),
+                  num_mutations=5, mutation="hmc", max_stages=30)
+    s = np.asarray(res.particles)
+    frac = float(np.mean(s[:, 0] > 0))
+    assert 0.40 < frac < 0.60          # both modes, balanced
+    m = s[s[:, 0] > 0]
+    assert np.allclose(m.mean(0), [2.0, 2.0], atol=0.08)
+    assert np.allclose(m.std(0), np.sqrt(0.1), atol=0.05)
+    # The adapted HMC step must actually accept (the naive cloud-covariance
+    # mass matrix alone drives acceptance to ~0 on bimodal clouds).
+    assert float(res.acceptance) > 0.3
