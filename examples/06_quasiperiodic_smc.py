@@ -41,8 +41,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
     particles0 = theta0 + scale * jax.random.normal(key, (2000, dim))
-    # mutation="hmc" swaps the random-walk mutations for gradient-based
-    # Metropolis-HMC (better decorrelation per step on smooth posteriors).
+    # (This run uses the default random-walk mutations; passing
+    # mutation="hmc" would swap in gradient-based Metropolis-HMC instead —
+    # better decorrelation per step on smooth posteriors.)
     res = run_smc(log_prob, log_init, particles0, key, num_mutations=8)
 
     names = gp.get_parameter_names()

@@ -57,26 +57,11 @@ def halton_sequence(i):
     return i.astype(jnp.float32) / jnp.float32(4294967296.0)
 
 
-# -- batched Hamiltonian pieces (chains-first layout) --------------------------
-
-def _kinetic_batch(r, inv_mass):
-    if inv_mass.ndim == 1:
-        return 0.5 * jnp.sum(r * r * inv_mass, axis=-1)
-    return 0.5 * jnp.einsum("ci,ij,cj->c", r, inv_mass, r)
-
-
-def _velocity_batch(r, inv_mass):
-    if inv_mass.ndim == 1:
-        return r * inv_mass
-    return r @ inv_mass.T
-
-
-def _momentum_batch(key, inv_mass, shape, dtype):
-    eps = jax.random.normal(key, shape, dtype)
-    if inv_mass.ndim == 1:
-        return eps / jnp.sqrt(inv_mass)
-    R = jnp.linalg.cholesky(inv_mass)
-    return jax.scipy.linalg.solve_triangular(R.T, eps.T, lower=False).T
+# Batched Hamiltonian pieces: hmc.py's helpers are batch-polymorphic over a
+# leading chains axis, so ChEES shares them verbatim.
+from .hmc import kinetic_energy as _kinetic_batch
+from .hmc import sample_momentum as _momentum_batch
+from .hmc import velocity as _velocity_batch
 
 
 # -- trajectory-length adaptation state (Adam on log T) ------------------------
@@ -199,17 +184,28 @@ def chees_step(key, states, value_and_grad, step_size, inv_mass, traj_time,
     #   per chain  a = ||z' - m'||^2 - ||z - m||^2,   d a / d t = 2 (z'-m')·v'
     #   d/d t  1/4 E[a^2] = E[ a (z'-m')·v' ],  weighted by accept prob;
     #   d/d log T = t * d/d t  (t = u T, shared).
+    # The proposal-side statistics (m1, per-chain contributions) are
+    # accept-weighted AND finite-masked: one exploded endpoint would
+    # otherwise drag the cross-chain mean — and with it every chain's
+    # adaptation signal — during exactly the early-warmup iterations that
+    # set the trajectory length.
+    finite1 = jnp.all(jnp.isfinite(z1), axis=-1) \
+        & jnp.all(jnp.isfinite(r1), axis=-1)
+    w = jnp.where(diverging | ~finite1, 0.0, accept_prob)
+    w_mean = _cross_mean(w, axis_name)
+    denom = jnp.maximum(w_mean, 1e-10)
+    z1_safe = jnp.where(finite1[:, None], z1, 0.0)
+    r1_safe = jnp.where(finite1[:, None], r1, 0.0)
+
     m0 = _cross_mean(states.z, axis_name)
-    m1 = _cross_mean(z1, axis_name)
-    v1 = _velocity_batch(r1, inv_mass)
-    a = jnp.sum((z1 - m1) ** 2, axis=-1) - jnp.sum(
+    m1 = _cross_mean(w[:, None] * z1_safe, axis_name) / denom
+    v1 = _velocity_batch(r1_safe, inv_mass)
+    a = jnp.sum((z1_safe - m1) ** 2, axis=-1) - jnp.sum(
         (states.z - m0) ** 2, axis=-1
     )
-    dot = jnp.sum((z1 - m1) * v1, axis=-1)
-    w = jnp.where(diverging, 0.0, accept_prob)
-    w_mean = _cross_mean(w, axis_name)
+    dot = jnp.sum((z1_safe - m1) * v1, axis=-1)
     per_chain = w * a * dot
-    grad_t = _cross_mean(per_chain, axis_name) / jnp.maximum(w_mean, 1e-10)
+    grad_t = _cross_mean(per_chain, axis_name) / denom
     grad_log_t = grad_t * traj_time
     # All-divergent batches give no signal: freeze instead of NaN.
     grad_log_t = jnp.where(

@@ -32,28 +32,36 @@ def new_state(log_prob, z):
 
 
 def kinetic_energy(r, inv_mass):
-    """0.5 r^T M^{-1} r for diagonal (vector) or dense inverse mass."""
-    if inv_mass.ndim == 1:
-        return 0.5 * jnp.sum(r * r * inv_mass)
-    return 0.5 * jnp.dot(r, inv_mass @ r)
+    """0.5 r^T M^{-1} r for diagonal (vector) or dense inverse mass.
+
+    Batch-polymorphic: ``r`` may be (dim,) or (..., dim); the reduction is
+    over the trailing axis (ChEES and the SMC HMC kernel pass full chain
+    batches).
+    """
+    return 0.5 * jnp.sum(r * velocity(r, inv_mass), axis=-1)
 
 
 def velocity(r, inv_mass):
-    """dz/dt = M^{-1} r."""
+    """dz/dt = M^{-1} r, for (dim,) or (..., dim) momenta."""
     if inv_mass.ndim == 1:
         return inv_mass * r
-    return inv_mass @ r
+    return r @ inv_mass.T
 
 
 def sample_momentum(key, inv_mass, shape, dtype):
     """r ~ N(0, M).  For diagonal M^{-1}, std = 1/sqrt(inv_mass); for dense,
-    draw through the Cholesky factor of M = (M^{-1})^{-1}."""
+    draw through the Cholesky factor of M = (M^{-1})^{-1}.  ``shape`` may be
+    (dim,) or (batch, dim)."""
     eps = jax.random.normal(key, shape, dtype)
     if inv_mass.ndim == 1:
         return eps / jnp.sqrt(inv_mass)
     # chol(M^{-1}) = R  =>  M = R^{-T} R^{-1};  r = R^{-T} eps has cov M.
     R = jnp.linalg.cholesky(inv_mass)
-    return jax.scipy.linalg.solve_triangular(R.T, eps, lower=False)
+    return jax.scipy.linalg.solve_triangular(
+        R.T, eps.T, lower=False
+    ).T if eps.ndim == 2 else jax.scipy.linalg.solve_triangular(
+        R.T, eps, lower=False
+    )
 
 
 def leapfrog(value_and_grad, state, r, step_size, inv_mass, n_steps):

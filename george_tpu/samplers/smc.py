@@ -148,13 +148,59 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
         lo, hi, _ = jax.lax.while_loop(cond, body, carry0)
         return jnp.where(full, jnp.asarray(1.0, dtype), lo)
 
+    def _run_mutations(key, thetas, lt, li, lam, log_scale, extra,
+                       step_fn):
+        """Shared mutation driver: scan of propose -> MH accept -> adapt.
+
+        ``step_fn(key, thetas, lt, li, extra, lam, scale) -> (prop, lt1,
+        li1, extra1, delta)`` supplies the proposal; ``extra`` carries any
+        per-particle state the kernel reuses across steps (the HMC kernel's
+        gradients).  The reported acceptance is the *expected* acceptance
+        E[min(1, e^delta)] for both kernels (lower-variance than the
+        realized fraction, and the same statistic the adaptation tracks).
+        """
+        def one(carry, key_t):
+            thetas, lt, li, extra, accepts, log_scale = carry
+            key_p, key_u = jax.random.split(key_t)
+            prop, lt1, li1, extra1, delta = step_fn(
+                key_p, thetas, lt, li, extra, lam, jnp.exp(log_scale)
+            )
+            delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+            u = jax.random.uniform(key_u, (n,), dtype)
+            take = jnp.log(u) < delta
+            thetas = jnp.where(take[:, None], prop, thetas)
+            lt = jnp.where(take, lt1, lt)
+            li = jnp.where(take, li1, li)
+            extra = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    take.reshape((n,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                extra1, extra,
+            )
+            acc = jnp.mean(jnp.minimum(1.0, jnp.exp(delta)))
+            log_scale = _adapt_scale(log_scale, acc)
+            return (thetas, lt, li, extra, accepts + acc, log_scale), None
+
+        keys = jax.random.split(key, num_mutations)
+        from .._vma import pvary_like
+
+        carry0 = pvary_like(
+            (thetas, lt, li, extra, jnp.zeros((), dtype), log_scale),
+            thetas, lam,
+        )
+        (thetas, lt, li, _, accepts, log_scale), _ = jax.lax.scan(
+            one, carry0, keys
+        )
+        return thetas, lt, li, accepts / num_mutations, log_scale
+
     def mutate(key, thetas, lt, li, lam, log_scale):
         """Random-walk MH at temperature lam, cloud-covariance proposals.
 
         ``lt``/``li`` are the carried target/init log densities at
         ``thetas`` — the current state's density is never recomputed, so
-        each MH step costs ONE target evaluation (the proposal), not two.
-        ``log_scale`` is the cross-stage acceptance-adapted multiplier.
+        each MH step costs ONE target evaluation (the proposal).
+        ``log_scale`` is the acceptance-adapted step multiplier, carried
+        across temperature stages.
         """
         mean = jnp.mean(thetas, axis=0)
         centered = thetas - mean
@@ -162,42 +208,26 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
         cov = cov + 1e-10 * jnp.eye(dim, dtype=dtype)
         chol = jnp.linalg.cholesky(cov) * rw_scale
 
-        def one(carry, key_t):
-            thetas, lt, li, accepts, log_scale = carry
-            key_p, key_u = jax.random.split(key_t)
+        def step_fn(key_p, thetas, lt, li, extra, lam, scale):
             eps = jax.random.normal(key_p, (n, dim), dtype)
-            prop = thetas + jnp.exp(log_scale) * (eps @ chol.T)
-            lt_new, li_new = components(prop)
-            delta = lam * (lt_new - lt) + (1.0 - lam) * (li_new - li)
-            delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
-            u = jax.random.uniform(key_u, (n,), dtype)
-            take = jnp.log(u) < delta
-            thetas = jnp.where(take[:, None], prop, thetas)
-            lt = jnp.where(take, lt_new, lt)
-            li = jnp.where(take, li_new, li)
-            acc = jnp.mean(jnp.minimum(1.0, jnp.exp(delta)))
-            log_scale = _adapt_scale(log_scale, acc)
-            return (thetas, lt, li, accepts + jnp.mean(take),
-                    log_scale), None
+            prop = thetas + scale * (eps @ chol.T)
+            lt1, li1 = components(prop)
+            delta = lam * (lt1 - lt) + (1.0 - lam) * (li1 - li)
+            return prop, lt1, li1, extra, delta
 
-        keys = jax.random.split(key, num_mutations)
-        from .._vma import pvary_like
-
-        carry0 = pvary_like(
-            (thetas, lt, li, jnp.zeros((), dtype), log_scale), thetas, lam
-        )
-        (thetas, lt, li, accepts, log_scale), _ = jax.lax.scan(
-            one, carry0, keys
-        )
-        return thetas, lt, li, accepts / num_mutations, log_scale
+        return _run_mutations(key, thetas, lt, li, lam, log_scale, (),
+                              step_fn)
 
     def mutate_hmc(key, thetas, lt, li, lam, log_scale):
         """Metropolis-HMC mutation at temperature lam.
 
         Mass matrix = inverse cloud covariance: momenta are drawn with the
         cloud's covariance as M^{-1}, which whitens the tempered target, so
-        one dimensionless step size serves every stage.  Each mutation is
-        ``num_leapfrog`` gradient evaluations of the tempered density.
+        one dimensionless step size serves every stage.  Gradients carry
+        across mutation steps (accept-selected), and the trajectory's final
+        evaluation doubles as the proposal's density, so each mutation
+        costs exactly ``num_leapfrog`` batched gradient evaluations (plus
+        one per stage to seed the carry).
         """
         mean = jnp.mean(thetas, axis=0)
         centered = thetas - mean
@@ -214,54 +244,34 @@ def run_smc(log_prob, log_init_prob, particles0, key, num_mutations=5,
         def kinetic(r):
             return 0.5 * jnp.sum(velocity(r) * r, axis=-1)
 
-        def one(carry, key_t):
-            thetas, lt, li, accepts, log_scale = carry
-            eps = eps_base * jnp.exp(log_scale)
-            key_r, key_u = jax.random.split(key_t)
+        def step_fn(key_p, thetas, lt, li, grad, lam, scale):
+            eps = eps_base * scale
             # r ~ N(0, M):  r = L^{-T} eps with L = chol(M^{-1}).
-            eps_n = jax.random.normal(key_r, (n, dim), dtype)
+            eps_n = jax.random.normal(key_p, (n, dim), dtype)
             r0 = jax.scipy.linalg.solve_triangular(
                 chol_im.T, eps_n.T, lower=False
             ).T
-
-            val0 = lam * lt + (1.0 - lam) * li
-            _, _, _, grad0 = v_tempered_vg(thetas, lam)
-            energy0 = -val0 + kinetic(r0)
+            energy0 = -(lam * lt + (1.0 - lam) * li) + kinetic(r0)
 
             def leap(carry, _):
-                z, g, r = carry
+                z, val, lt_c, li_c, g, r = carry
                 r_half = r + 0.5 * eps * g
                 z_new = z + eps * velocity(r_half)
-                _, _, _, g_new = v_tempered_vg(z_new, lam)
+                val_new, lt_new, li_new, g_new = v_tempered_vg(z_new, lam)
                 r_new = r_half + 0.5 * eps * g_new
-                return (z_new, g_new, r_new), None
+                return (z_new, val_new, lt_new, li_new, g_new, r_new), None
 
-            (z1, _, r1), _ = jax.lax.scan(
-                leap, (thetas, grad0, r0), None, length=num_leapfrog,
+            val0 = lam * lt + (1.0 - lam) * li
+            (z1, val1, lt1, li1, g1, r1), _ = jax.lax.scan(
+                leap, (thetas, val0, lt, li, grad, r0), None,
+                length=num_leapfrog,
             )
-            val1, lt1, li1, _ = v_tempered_vg(z1, lam)
             energy1 = -val1 + kinetic(r1)
-            delta = energy0 - energy1
-            delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
-            u = jax.random.uniform(key_u, (n,), dtype)
-            take = jnp.log(u) < delta
-            thetas = jnp.where(take[:, None], z1, thetas)
-            lt = jnp.where(take, lt1, lt)
-            li = jnp.where(take, li1, li)
-            acc = jnp.mean(jnp.minimum(1.0, jnp.exp(delta)))
-            log_scale = _adapt_scale(log_scale, acc)
-            return (thetas, lt, li, accepts + acc, log_scale), None
+            return z1, lt1, li1, g1, energy0 - energy1
 
-        keys = jax.random.split(key, num_mutations)
-        from .._vma import pvary_like
-
-        carry0 = pvary_like(
-            (thetas, lt, li, jnp.zeros((), dtype), log_scale), thetas, lam
-        )
-        (thetas, lt, li, accepts, log_scale), _ = jax.lax.scan(
-            one, carry0, keys
-        )
-        return thetas, lt, li, accepts / num_mutations, log_scale
+        _, _, _, grad0 = v_tempered_vg(thetas, lam)
+        return _run_mutations(key, thetas, lt, li, lam, log_scale, grad0,
+                              step_fn)
 
     accept_target = 0.65 if mutation == "hmc" else 0.234
 
