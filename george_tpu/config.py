@@ -2,7 +2,7 @@
 """Global knobs (kept deliberately small, matching the reference's
 no-config-file philosophy — everything else is constructor kwargs)."""
 
-__all__ = ["pallas_covariance", "pallas_min_elements"]
+__all__ = ["pallas_covariance", "pallas_min_elements", "pallas_kalman"]
 
 # When to route stationary covariance builds through the Pallas TPU kernel:
 #   "auto"   — on TPU, float32, unblocked stationary leaves, and the output
@@ -12,3 +12,10 @@ __all__ = ["pallas_covariance", "pallas_min_elements"]
 # Read at trace time: set it before the first evaluation of a given shape.
 pallas_covariance = "auto"
 pallas_min_elements = 1 << 20
+
+# The fused Pallas Kalman value+gradient kernel (ops/pallas_kalman.py):
+#   "auto"   — attach to state-space log-probs on TPU (batch-level samplers
+#              use it in place of vmap(value_and_grad); ~7x at 16k chains);
+#   "always" — also on CPU via the Pallas interpreter (tests);
+#   "never"  — scan path only.
+pallas_kalman = "auto"

@@ -126,7 +126,7 @@ def _cross_mean(x, axis_name, axis=0):
 
 def chees_step(key, states, value_and_grad, step_size, inv_mass, traj_time,
                max_leapfrog=1024, axis_name=None,
-               divergence_threshold=1000.0):
+               divergence_threshold=1000.0, batched_value_and_grad=None):
     """One jittered-HMC transition for the WHOLE chain batch.
 
     :param states: batched :class:`HMCState` (leading chains axis).
@@ -135,6 +135,9 @@ def chees_step(key, states, value_and_grad, step_size, inv_mass, traj_time,
     :param traj_time: shared trajectory *time* for this iteration (already
         jittered by the caller).  Steps = ceil(t / eps), shared by all
         chains, capped at ``max_leapfrog``.
+    :param batched_value_and_grad: optional ``f(zs (B, dim)) -> (logps,
+        grads)`` replacing ``vmap(value_and_grad)`` — e.g. the fused Pallas
+        Kalman kernel attached by :func:`build_gp_log_prob`.
     :returns: (new_states, :class:`ChEESInfo`).
     """
     num_chains, dim = states.z.shape
@@ -148,7 +151,7 @@ def chees_step(key, states, value_and_grad, step_size, inv_mass, traj_time,
     r0 = _momentum_batch(key_r, inv_mass, (num_chains, dim), dtype)
     energy0 = -states.logp + _kinetic_batch(r0, inv_mass)
 
-    vg_batch = jax.vmap(value_and_grad)
+    vg_batch = batched_value_and_grad or jax.vmap(value_and_grad)
 
     def leap(carry):
         z, logp, grad, r, i = carry

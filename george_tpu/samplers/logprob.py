@@ -209,5 +209,89 @@ def _build_state_space_log_prob(gp, node, x_host, y_host, yerr2, log_prior,
             lp = lp + log_prior(theta_active)
         return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
+    _attach_pallas_vg(
+        log_prob, gp, node, t_host, y_sorted, yerr2_sorted, x_sorted,
+        theta_full0, unfrozen, lo, hi, log_prior,
+    )
+
     theta0 = jnp.asarray(gp.get_parameter_vector())
     return log_prob, theta0
+
+
+def _attach_pallas_vg(log_prob, gp, node, t_host, y_sorted, yerr2_sorted,
+                      x_sorted, theta_full0, unfrozen, lo, hi, log_prior):
+    """Attach ``log_prob.batched_value_and_grad`` when the fused Pallas
+    Kalman kernel applies (see :mod:`george_tpu.ops.pallas_kalman`).
+
+    Batch-level samplers (ChEES) use it in place of
+    ``vmap(value_and_grad(log_prob))`` — same math, one kernel, ~7x faster
+    at large chain counts.  Supported model shapes: mean and white-noise
+    each either parameter-free (values baked into the data) or a
+    :class:`ConstantModel` scalar (frozen or trainable).
+    """
+    from .. import config
+    from ..ops import pallas_kalman as pk
+
+    mode = getattr(config, "pallas_kalman", "auto")
+    if mode == "never":
+        return
+    interpret = mode == "always" and jax.default_backend() != "tpu"
+    if not (pk.pallas_kalman_available() or interpret):
+        return
+
+    mean, wn = gp.mean, gp.white_noise
+    if isinstance(mean, ConstantModel) and mean.full_size == 1:
+        n_mean, y_eff = 1, np.asarray(y_sorted)
+    elif mean.full_size == 0:
+        n_mean = 0
+        y_eff = np.asarray(y_sorted) - np.broadcast_to(
+            mean.get_value(x_sorted), (len(x_sorted),)
+        )
+    else:
+        return
+    if isinstance(wn, ConstantModel) and wn.full_size == 1:
+        n_wn, v_eff = 1, np.asarray(yerr2_sorted)
+    elif wn.full_size == 0:
+        n_wn = 0
+        v_eff = np.asarray(yerr2_sorted) + np.exp(np.broadcast_to(
+            wn.get_value(x_sorted), (len(x_sorted),)
+        ))
+    else:
+        return
+
+    active = tuple(int(i) for i in unfrozen)
+    vg_core = pk.make_kalman_vg(
+        node, t_host, y_eff, v_eff, n_mean, n_wn, active,
+        interpret=interpret,
+    )
+    theta_full_f32 = jnp.asarray(theta_full0, jnp.float32)
+    lo_d = jnp.asarray(lo)
+    hi_d = jnp.asarray(hi)
+    unfrozen_d = jnp.asarray(np.asarray(unfrozen))
+
+    def batched_value_and_grad(thetas_active):
+        """(B, n_active) -> (lp (B,), d lp / d theta (B, n_active))."""
+        B = thetas_active.shape[0]
+        theta = jnp.broadcast_to(
+            theta_full_f32, (B, theta_full_f32.shape[0])
+        ).at[:, unfrozen_d].set(thetas_active.astype(jnp.float32))
+        ll, grad = vg_core(theta)
+        in_bounds = jnp.all(
+            (theta >= lo_d) & (theta <= hi_d), axis=1
+        )
+        ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
+        ok = in_bounds & jnp.isfinite(ll)
+        lp = jnp.where(in_bounds, ll, -jnp.inf)
+        g = jnp.where(ok[:, None], grad, 0.0)
+        g = jnp.where(jnp.isnan(g), 0.0, g)
+        if log_prior is not None:
+            pv, pg = jax.vmap(jax.value_and_grad(log_prior))(
+                thetas_active
+            )
+            lp = lp + pv
+            g = g + pg
+        return lp.astype(thetas_active.dtype), g.astype(
+            thetas_active.dtype
+        )
+
+    log_prob.batched_value_and_grad = batched_value_and_grad

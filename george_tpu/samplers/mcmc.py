@@ -93,6 +93,7 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
         return _build_chees_pieces(
             vg, num_chains, dim, dtype, num_warmup, target_accept,
             num_leapfrog, dense_mass, axis_name, adapt_mass,
+            batched_vg=getattr(log_prob, "batched_value_and_grad", None),
         )
 
     if algorithm == "nuts":
@@ -157,11 +158,13 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
 
 def _build_chees_pieces(vg, num_chains, dim, dtype, num_warmup,
                         target_accept, max_leapfrog, dense_mass, axis_name,
-                        adapt_mass):
+                        adapt_mass, batched_vg=None):
     """ChEES-HMC: one shared jittered trajectory for the whole batch.
 
     The kernel is batch-level (cross-chain means feed the trajectory
-    gradient), so the vmap lives inside :func:`chees.chees_step`.
+    gradient), so the vmap lives inside :func:`chees.chees_step` — unless
+    the log-prob carries a fused batched kernel (``batched_vg``, e.g. the
+    Pallas Kalman value+gradient), which replaces it outright.
     """
     from . import chees
 
@@ -187,6 +190,7 @@ def _build_chees_pieces(vg, num_chains, dim, dtype, num_warmup,
         states, info = chees.chees_step(
             sub, states, vg, eps, inv_mass, t,
             max_leapfrog=max_leapfrog, axis_name=axis_name,
+            batched_value_and_grad=batched_vg,
         )
         da = adapt.da_update(
             da, _cross_mean(info.accept_prob, axis_name),
@@ -210,6 +214,7 @@ def _build_chees_pieces(vg, num_chains, dim, dtype, num_warmup,
         states, info = chees.chees_step(
             sub, states, vg, eps, inv_mass, t,
             max_leapfrog=max_leapfrog, axis_name=axis_name,
+            batched_value_and_grad=batched_vg,
         )
         nleap = jnp.broadcast_to(info.n_leapfrog, (num_chains,))
         out = (states.z, states.logp, info.accept_prob,
