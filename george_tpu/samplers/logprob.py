@@ -238,6 +238,11 @@ def _attach_pallas_vg(log_prob, gp, node, t_host, y_sorted, yerr2_sorted,
     interpret = mode == "always" and jax.default_backend() != "tpu"
     if not (pk.pallas_kalman_available() or interpret):
         return
+    if len(t_host) > pk.MAX_N:
+        # The shared time series lives in SMEM; past this N the kernel
+        # would exceed the scalar-memory budget.  Fall back to the scan
+        # path silently (same math).
+        return
 
     mean, wn = gp.mean, gp.white_noise
     if isinstance(mean, ConstantModel) and mean.full_size == 1:
@@ -290,6 +295,10 @@ def _attach_pallas_vg(log_prob, gp, node, t_host, y_sorted, yerr2_sorted,
             )
             lp = lp + pv
             g = g + pg
+        # Same final guard as the scalar log_prob: NaN (e.g. a NaN prior,
+        # or -inf likelihood + +inf prior) reads as a rejected proposal.
+        lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        g = jnp.where(jnp.isnan(g), 0.0, g)
         return lp.astype(thetas_active.dtype), g.astype(
             thetas_active.dtype
         )

@@ -100,10 +100,6 @@ def test_batched_vg_frozen_params(pallas_kalman_always):
 def test_not_attached_for_unsupported_models(pallas_kalman_always):
     x, y, yerr = _dataset()
 
-    class LinearMean(george.modeling.Model if hasattr(george, "modeling")
-                     else object):
-        pass
-
     from george_tpu.modeling import Model
 
     class Mean(Model):
@@ -148,3 +144,31 @@ def test_chees_uses_batched_vg(pallas_kalman_always):
     # f64, so not bitwise).
     assert np.all(np.abs(np.asarray(s["mean"]) - np.asarray(s2["mean"]))
                   < 0.5)
+
+
+def test_large_epoch_dt_precision(pallas_kalman_always):
+    # f32 resolution at t ~ 2.45e6 (astronomical epochs) is ~0.25, far
+    # coarser than the sampling cadence; the kernel must difference the
+    # f64 host times BEFORE casting, or every transition matrix is wrong.
+    rng = np.random.default_rng(3)
+    n = 64
+    x = 2.45e6 + np.sort(rng.uniform(0, 10, n))
+    yerr = 0.1 * np.ones(n)
+    y = np.sin(x - 2.45e6) + yerr * rng.standard_normal(n)
+    gp = george.GP(1.0 * kernels.Matern32Kernel(1.0))
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+
+    # Oracle: same data on a small-offset axis (identical gaps).
+    gp2 = george.GP(1.0 * kernels.Matern32Kernel(1.0))
+    log_prob2, _ = build_gp_log_prob(gp2, x - x[0], y, yerr)
+
+    thetas = jnp.asarray(
+        np.asarray(theta0)[None, :]
+        + 0.1 * rng.standard_normal((4, len(theta0)))
+    )
+    lp, g = log_prob.batched_value_and_grad(thetas)
+    lp_ref, g_ref = jax.vmap(jax.value_and_grad(log_prob2))(thetas)
+    assert np.allclose(np.asarray(lp), np.asarray(lp_ref),
+                       rtol=1e-4, atol=5e-2)
+    assert np.allclose(np.asarray(g), np.asarray(g_ref),
+                       rtol=1e-3, atol=5e-2)
