@@ -347,3 +347,36 @@ def test_smc_hmc_mutations_bimodal():
     # The adapted HMC step must actually accept (the naive cloud-covariance
     # mass matrix alone drives acceptance to ~0 on bimodal clouds).
     assert float(res.acceptance) > 0.3
+
+
+def test_rank_normalized_diagnostics_iid():
+    from george_tpu.samplers.diagnostics import (
+        rank_normalize, rank_normalized_rhat, tail_ess,
+    )
+
+    rng = np.random.default_rng(0)
+    # Heavy-tailed iid draws: plain moments are noisy, rank-normalized
+    # diagnostics must still read "converged, near-iid".
+    x = jnp.asarray(rng.standard_t(df=2, size=(8, 500, 2)))
+    z = np.asarray(rank_normalize(x))
+    # Rank-normalized draws are ~standard normal regardless of tails.
+    assert abs(float(z.mean())) < 0.02
+    assert abs(float(z.std()) - 1.0) < 0.05
+    rhat = np.asarray(rank_normalized_rhat(x))
+    assert np.all(rhat < 1.02)
+    ess = np.asarray(tail_ess(x))
+    assert np.all(ess > 0.5 * 8 * 500)
+
+    s = summary(x, rank_normalized=True)
+    assert np.all(np.asarray(s["ess_bulk"]) > 0.5 * 8 * 500)
+    assert np.all(np.asarray(s["rhat"]) < 1.02)
+
+
+def test_rank_normalized_rhat_catches_stuck_chain():
+    from george_tpu.samplers.diagnostics import rank_normalized_rhat
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((8, 400, 1))
+    x[0] = x[0] * 0.01 + 5.0          # one chain stuck elsewhere
+    rhat = float(np.asarray(rank_normalized_rhat(jnp.asarray(x)))[0])
+    assert rhat > 1.2
