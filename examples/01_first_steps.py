@@ -8,6 +8,12 @@ analytic gradient.
 import numpy as np
 from scipy.optimize import minimize
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without installing
+
 import george_tpu as george
 from george_tpu import kernels
 

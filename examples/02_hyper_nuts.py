@@ -8,6 +8,12 @@ diagnostics — all on-device.
 import numpy as np
 import jax
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without installing
+
 import george_tpu as george
 from george_tpu import kernels
 from george_tpu.samplers import build_gp_log_prob, run_mcmc, summary
@@ -25,11 +31,24 @@ def main():
         1.0 * kernels.Matern32Kernel(1.0),
         white_noise=np.log(1e-4), fit_white_noise=True,
     )
-    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+
+    # Weakly-informative Gaussian prior: the log-white-noise direction is
+    # an improper flat tail to -inf once the jitter is negligible, and no
+    # sampler mixes on it without a prior.
+    center = jax.numpy.asarray(gp.get_parameter_vector())
+
+    def log_prior(theta):
+        return -0.5 * jax.numpy.sum(((theta - center) / 3.0) ** 2)
+
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr,
+                                         log_prior=log_prior)
 
     key = jax.random.PRNGKey(0)
     z0 = theta0 + 0.1 * jax.random.normal(key, (64, len(theta0)))
-    res = run_mcmc(log_prob, z0, key, num_warmup=400, num_samples=400)
+    # block_size keeps each device invocation bounded on tunneled or
+    # preemptible backends; identical math and RNG stream.
+    res = run_mcmc(log_prob, z0, key, num_warmup=400, num_samples=400,
+                   block_size=100)
 
     stats = summary(res.samples)
     names = gp.get_parameter_names()
@@ -43,7 +62,7 @@ def main():
     # (shared adapted trajectory, whole batch in lockstep; ~7x the ESS/s of
     # NUTS on the benchmark config).
     res_c = run_mcmc(log_prob, z0, key, algorithm="chees",
-                     num_warmup=400, num_samples=400)
+                     num_warmup=400, num_samples=400, block_size=100)
     stats_c = summary(res_c.samples)
     for i, name in enumerate(names):
         print("[chees] {0:20s} mean={1:+.3f} std={2:.3f} ess={3:.0f}"

@@ -6,6 +6,12 @@ periodic ExpSine2, predicted separately from one joint fit.
 """
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without installing
+
 import george_tpu as george
 from george_tpu import kernels
 

@@ -6,6 +6,20 @@ templates/kernels.py:119-133) to climb the posterior-mean surface.
 """
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without installing
+
+import jax
+
+# This example demonstrates finite-difference gradient checks, whose 1e-5
+# tolerances assume double precision; pin the x64 CPU backend (numerics
+# demo — the accelerator path is exercised by the other examples).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import george_tpu as george
 from george_tpu import kernels
 

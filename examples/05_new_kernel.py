@@ -8,6 +8,20 @@ at runtime compiles straight to jitted evaluators.
 import numpy as np
 import yaml
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without installing
+
+import jax
+
+# This example demonstrates finite-difference gradient checks, whose 1e-5
+# tolerances assume double precision; pin the x64 CPU backend (numerics
+# demo — the accelerator path is exercised by the other examples).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 from george_tpu.dsl.specs import _parse_spec, available_kernels
 from george_tpu.kernels import _make_kernel_class
 import george_tpu.kernels as kernels_module

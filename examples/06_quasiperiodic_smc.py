@@ -9,6 +9,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without installing
+
 import george_tpu as george
 from george_tpu import kernels
 from george_tpu.samplers import build_gp_log_prob

@@ -17,6 +17,12 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without installing
+
 import george_tpu as george
 from george_tpu import kernels
 from george_tpu.solvers import BasicSolver, StateSpaceSolver

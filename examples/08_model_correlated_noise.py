@@ -17,6 +17,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without installing
+
 import george_tpu as george
 from george_tpu import kernels
 from george_tpu.modeling import Model
@@ -59,7 +65,11 @@ STEPS = int(os.environ.get("EX_STEPS", 500))
 def sample_posterior(gp, t, y, yerr, key, label):
     log_prob, theta0 = build_gp_log_prob(gp, t, y, yerr)
     z0 = theta0 + 0.1 * jax.random.normal(key, (CHAINS, len(theta0)))
-    res = run_mcmc(log_prob, z0, key, num_warmup=STEPS, num_samples=STEPS)
+    # Blocked execution keeps each device invocation bounded (tunneled /
+    # preemptible backends kill very long single executions); identical
+    # math and RNG stream to the fused form.
+    res = run_mcmc(log_prob, z0, key, num_warmup=STEPS, num_samples=STEPS,
+                   max_depth=8, block_size=50)
     stats = summary(res.samples)
     print("--", label)
     for i, name in enumerate(gp.get_parameter_names()):
@@ -88,9 +98,19 @@ def main():
     #    amplitude is bounded below (the bounds prior keeps NUTS off the
     #    improper exp(wn) -> 0 plateau).
     from george_tpu.modeling import ConstantModel
+    # The reference bounds the mean-model parameters (model.rst's flat
+    # prior over amp in (-10,10), location in (-5,5), width in (0,3)):
+    # without them `location` is unidentified once the GP absorbs the dip
+    # and NUTS wanders an improper plateau.  The modeling protocol's
+    # bounds ARE the prior here, exactly as in the reference.
+    feature = GaussianFeature(
+        bounds=dict(amp=(-10.0, 10.0), location=(-5.0, 5.0),
+                    log_sigma2=(np.log(1e-3), np.log(3.0))),
+        **truth,
+    )
     gp = george.GP(
         np.var(y) * kernels.Matern32Kernel(10.0),
-        mean=GaussianFeature(**truth), fit_mean=True,
+        mean=feature, fit_mean=True,
         white_noise=ConstantModel(np.log(0.5 ** 2), bounds=[(-12.0, 5.0)]),
         fit_white_noise=True,
     )
