@@ -56,10 +56,14 @@ def test_first_steps_optimize():
     kernel = np.var(y) * kernels.ExpSquaredKernel(0.5)
     gp = GP(kernel)
     gp.compute(x, yerr)
+    # Published initial value (first.rst:89-91): -11.82.
+    assert np.allclose(gp.log_likelihood(y), -11.8165102869, atol=1e-8)
 
     result = minimize(
         gp.nll, gp.get_parameter_vector(), jac=gp.grad_nll, args=(y,)
     )
     gp.set_parameter_vector(result.x)
     assert result.success
-    assert np.isfinite(result.fun)
+    # Published optimum (first.rst:117-120).
+    assert np.allclose(result.fun, 9.225282556043894, atol=1e-6)
+    assert np.allclose(result.x, [-0.48730733, 0.60407551], atol=1e-4)
