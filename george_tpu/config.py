@@ -2,7 +2,8 @@
 """Global knobs (kept deliberately small, matching the reference's
 no-config-file philosophy — everything else is constructor kwargs)."""
 
-__all__ = ["pallas_covariance", "pallas_min_elements", "pallas_kalman"]
+__all__ = ["pallas_covariance", "pallas_min_elements", "pallas_kalman",
+           "pallas_dense"]
 
 # When to route stationary covariance builds through the Pallas TPU kernel:
 #   "auto"   — on TPU, float32, unblocked stationary leaves, and the output
@@ -19,3 +20,9 @@ pallas_min_elements = 1 << 20
 #   "always" — also on CPU via the Pallas interpreter (tests);
 #   "never"  — scan path only.
 pallas_kalman = "auto"
+
+# The fused Pallas batched dense value+gradient kernel (ops/pallas_dense.py)
+# for multi-dim / no-state-space posteriors at N <= 128 (the "thousands of
+# chains x small-N Cholesky" shape). Same tri-state semantics as
+# `pallas_kalman`.
+pallas_dense = "auto"

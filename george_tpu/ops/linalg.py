@@ -22,9 +22,85 @@ __all__ = [
 ]
 
 
+# Route factorizations above this size through the blocked algorithm on
+# TPU: XLA's native cholesky is column-loop bound there, while the blocked
+# form puts ~97% of the N^3/3 FLOPs into full-width MXU matmuls.  Gated off
+# (threshold effectively infinite) until the block/precision tuning beats
+# XLA's native factorization on chip; see benchmarks/chol16k.py.
+BLOCKED_CHOLESKY_MIN_N = 1 << 30
+_CHOL_BLOCK = 2048
+
+
+def _blocked_cholesky_impl(K, block):
+    """Right-looking blocked Cholesky, unrolled over static panels.
+
+    Each panel: factor the diagonal block with XLA's cholesky, form the
+    sub-diagonal panel with one triangular solve, then downdate the
+    trailing submatrix with a single (N-j)^2 x block matmul — the MXU hot
+    loop.  All slices are static, so the whole factorization is one fused
+    XLA program.
+    """
+    n = K.shape[0]
+    # Full-f32 MXU passes: the default bf16-decomposed matmul loses enough
+    # of the trailing downdate that ill-conditioned kernels (which XLA's
+    # native cholesky factors fine) go indefinite.
+    prec = jax.lax.Precision.HIGHEST
+    for j0 in range(0, n, block):
+        j1 = min(j0 + block, n)
+        Ld = jnp.linalg.cholesky(K[j0:j1, j0:j1])
+        K = K.at[j0:j1, j0:j1].set(Ld)
+        if j1 < n:
+            L21 = solve_triangular(
+                Ld, K[j1:, j0:j1].T, lower=True
+            ).T
+            K = K.at[j1:, j0:j1].set(L21)
+            K = K.at[j1:, j1:].add(
+                -jnp.matmul(L21, L21.T, precision=prec)
+            )
+    return jnp.tril(K)
+
+
+@jax.custom_vjp
+def blocked_cholesky(K):
+    """Lower Cholesky factor via the blocked right-looking algorithm.
+
+    Equivalent to ``jnp.linalg.cholesky`` (up to fp rounding) but ~an order
+    of magnitude faster on TPU at N >= 8k.  The custom VJP applies the
+    standard O(N^2)-memory Cholesky adjoint (two triangular solves) instead
+    of differentiating through the unrolled panels (which would checkpoint
+    a full K snapshot per panel).
+    """
+    return _blocked_cholesky_impl(K, _CHOL_BLOCK)
+
+
+def _blocked_cholesky_fwd(K):
+    L = _blocked_cholesky_impl(K, _CHOL_BLOCK)
+    return L, L
+
+
+def _blocked_cholesky_bwd(L, Lbar):
+    # Murray (2016), "Differentiation of the Cholesky decomposition":
+    # Kbar = (1/2) L^{-T} (P + P^T) L^{-1} with P = Phi(L^T Lbar),
+    # Phi = tril with halved diagonal.  Matches the cotangent convention
+    # of jnp.linalg.cholesky (verified in tests/test_aux.py).
+    P = jnp.tril(L.T @ Lbar)
+    P = P - 0.5 * jnp.diag(jnp.diagonal(P))
+    S = P + P.T
+    tmp = solve_triangular(L, S, lower=True, trans=1)
+    Kbar = solve_triangular(L, tmp.T, lower=True, trans=1).T
+    return (0.5 * Kbar,)
+
+
+blocked_cholesky.defvjp(_blocked_cholesky_fwd, _blocked_cholesky_bwd)
+
+
 def cholesky_factor(K):
     """Lower Cholesky factor and log-determinant of an SPD matrix."""
-    L = jnp.linalg.cholesky(K)
+    n = K.shape[0]
+    if n >= BLOCKED_CHOLESKY_MIN_N and jax.default_backend() == "tpu":
+        L = blocked_cholesky(K)
+    else:
+        L = jnp.linalg.cholesky(K)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
     return L, logdet
 

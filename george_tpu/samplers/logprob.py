@@ -119,6 +119,7 @@ def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None, method="auto"):
 
     mean_fn = traceable_model_fn(gp.mean, x_host)
     wn_fn = traceable_model_fn(gp.white_noise, x_host)
+    dense_attach_args = None
 
     # Layout of the full parameter vector: mean | white_noise | kernel
     # (gp.py:78-95 ordering in the reference; ModelSet order here).
@@ -159,6 +160,11 @@ def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None, method="auto"):
         # treat it as a rejected/divergent proposal (the quiet=True contract,
         # reference gp.py:385-397).
         return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+    _attach_pallas_dense_vg(
+        log_prob, gp, node, x_host, y_host, yerr2, theta_full0, unfrozen,
+        lo, hi, log_prior,
+    )
 
     theta0 = jnp.asarray(gp.get_parameter_vector())
     return log_prob, theta0
@@ -269,6 +275,15 @@ def _attach_pallas_vg(log_prob, gp, node, t_host, y_sorted, yerr2_sorted,
         node, t_host, y_eff, v_eff, n_mean, n_wn, active,
         interpret=interpret,
     )
+    log_prob.batched_value_and_grad = _finish_batched_vg(
+        vg_core, theta_full0, unfrozen, lo, hi, log_prior
+    )
+
+
+def _finish_batched_vg(vg_core, theta_full0, unfrozen, lo, hi, log_prior):
+    """Wrap a fused ``(theta_full (B, D)) -> (ll, grad_active)`` kernel with
+    the bounds prior, NaN->(-inf, 0) guards, and the optional extra prior —
+    the exact semantics of ``vmap(value_and_grad(log_prob))``."""
     theta_full_f32 = jnp.asarray(theta_full0, jnp.float32)
     lo_d = jnp.asarray(lo)
     hi_d = jnp.asarray(hi)
@@ -303,4 +318,68 @@ def _attach_pallas_vg(log_prob, gp, node, t_host, y_sorted, yerr2_sorted,
             thetas_active.dtype
         )
 
-    log_prob.batched_value_and_grad = batched_value_and_grad
+    return batched_value_and_grad
+
+
+def _scalar_or_baked(model, x_sorted, base, transform):
+    """ConstantModel-scalar -> (1, base); parameter-free -> (0, baked).
+
+    Anything else returns (None, None): the fused kernels assume the full
+    parameter vector is laid out [mean (<=1) | white-noise (<=1) | kernel],
+    so a mean/noise model with >1 (even frozen) parameters disqualifies.
+    """
+    from ..modeling import ConstantModel as _CM
+
+    if isinstance(model, _CM) and model.full_size == 1:
+        return 1, base
+    if model.full_size == 0:
+        vals = np.broadcast_to(
+            model.get_value(x_sorted), (len(x_sorted),)
+        )
+        return 0, transform(base, vals)
+    return None, None
+
+
+def _attach_pallas_dense_vg(log_prob, gp, node, x_host, y_host, yerr2,
+                            theta_full0, unfrozen, lo, hi, log_prior):
+    """Attach the fused Pallas *dense* value+gradient kernel when it
+    applies (see :mod:`george_tpu.ops.pallas_dense`): N <= 128, metric
+    types 0/1, mean and white-noise scalar-or-baked.  This is the config-#5
+    hot path — thousands of chains x small-N Cholesky for kernels with no
+    state-space form."""
+    from .. import config
+    from ..ops import pallas_dense as pdz
+
+    mode = getattr(config, "pallas_dense", "auto")
+    if mode == "never":
+        return
+    interpret = mode == "always" and jax.default_backend() != "tpu"
+    if not (pdz.pallas_dense_available() or interpret):
+        return
+    if not pdz.supports_pallas_dense(node, len(x_host)):
+        return
+
+    n_mean, y_eff = _scalar_or_baked(
+        gp.mean, x_host, np.asarray(y_host), lambda y, m: y - m
+    )
+    if n_mean is None:
+        return
+    n_wn, v_eff = _scalar_or_baked(
+        gp.white_noise, x_host, np.asarray(yerr2),
+        lambda v, w: v + np.exp(w),
+    )
+    if n_wn is None:
+        return
+
+    active = tuple(int(i) for i in unfrozen)
+    if not active:
+        return
+    # Frozen scalar mean / white-noise models stay in the full vector (the
+    # kernel reads them from theta), so n_mean/n_wn stay 1 even if frozen.
+    vg_core = pdz.make_dense_batched_vg(
+        node, x_host, y_eff, v_eff, n_mean, n_wn, active,
+        interpret=interpret,
+    )
+    log_prob.batched_value_and_grad = _finish_batched_vg(
+        vg_core, theta_full0, unfrozen, lo, hi, log_prior
+    )

@@ -84,17 +84,44 @@ def _mass_window_update(da, welford, inv_mass, states, in_win, win_end,
     return da, welford, inv_mass
 
 
+def _fuse_batched_vg(scalar_vg, batched_vg):
+    """Route ``vmap`` of a per-chain value_and_grad through a fused batch
+    kernel (e.g. the Pallas Kalman / dense value+gradient programs).
+
+    ``jax.custom_vmap`` is the idiomatic seam: per-chain callers (step-size
+    search) run the scalar implementation; anything vmapped over chains —
+    including the leapfrog inside the vmapped NUTS/HMC transition — hits
+    the batch rule and executes ONE fused kernel for the whole chain batch.
+    """
+    @jax.custom_batching.custom_vmap
+    def vg(z):
+        return scalar_vg(z)
+
+    @vg.def_vmap
+    def _rule(axis_size, in_batched, zs):
+        if not in_batched[0]:
+            zs = jnp.broadcast_to(zs, (axis_size,) + zs.shape)
+        logp, grad = batched_vg(zs)
+        return (logp, grad), (True, True)
+
+    return vg
+
+
 def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
                   algorithm, target_accept, max_depth, num_leapfrog,
                   dense_mass, axis_name, adapt_mass):
     vg = jax.value_and_grad(log_prob)
+    batched_vg = getattr(log_prob, "batched_value_and_grad", None)
 
     if algorithm == "chees":
         return _build_chees_pieces(
             vg, num_chains, dim, dtype, num_warmup, target_accept,
             num_leapfrog, dense_mass, axis_name, adapt_mass,
-            batched_vg=getattr(log_prob, "batched_value_and_grad", None),
+            batched_vg=batched_vg,
         )
+
+    if batched_vg is not None:
+        vg = _fuse_batched_vg(vg, batched_vg)
 
     if algorithm == "nuts":
         def kernel(key, state, eps, inv_mass):
