@@ -92,41 +92,63 @@ def main():
         print("{0} {1}/{2}".format(phase, done, total), file=sys.stderr,
               flush=True)
 
-    opts = dict(num_warmup=num_warmup, num_samples=num_samples,
-                max_depth=6, block_size=block, progress=progress,
-                algorithm=algorithm)
-    if algorithm == "chees":
-        # num_leapfrog is the per-iteration cap for ChEES trajectories.
-        opts["num_leapfrog"] = int(os.environ.get("BENCH_MAX_LEAPFROG", 64))
-    t_compile = time.time()
-    run_mcmc(log_prob, z0, key, **dict(opts, num_warmup=block,
-                                       num_samples=block))
-    t_compile = time.time() - t_compile
-    t0 = time.time()
-    res = run_mcmc(log_prob, z0, jax.random.PRNGKey(1), **opts)
-    np.asarray(res.samples)
-    elapsed = time.time() - t0
-
-    ess = np.asarray(effective_sample_size(res.samples))
-    value = float(ess.min() / elapsed)
-    print(json.dumps({
-        "metric": "{0} effective-samples/s/chip, Matern32 GP N=1k".format(
-            algorithm.upper()),
-        "value": round(value, 3),
-        "unit": "ess/s",
-        "vs_baseline": round(value / REFERENCE_ESS_PER_S, 2),
-        "detail": {
-            "n": n, "chains": num_chains,
-            "warmup": num_warmup, "samples": num_samples,
+    def measure(algo, warmup, samples, chains, seed):
+        opts = dict(num_warmup=warmup, num_samples=samples,
+                    max_depth=6, block_size=block, progress=progress,
+                    algorithm=algo)
+        if algo == "chees":
+            # num_leapfrog is the per-iteration cap for ChEES trajectories.
+            opts["num_leapfrog"] = int(
+                os.environ.get("BENCH_MAX_LEAPFROG", 64)
+            )
+        z = z0[:chains]
+        t_compile = time.time()
+        run_mcmc(log_prob, z, key, **dict(opts, num_warmup=block,
+                                          num_samples=block))
+        t_compile = time.time() - t_compile
+        t0 = time.time()
+        res = run_mcmc(log_prob, z, jax.random.PRNGKey(seed), **opts)
+        np.asarray(res.samples)
+        elapsed = time.time() - t0
+        ess = np.asarray(effective_sample_size(res.samples))
+        return {
+            "ess_per_s": float(ess.min() / elapsed),
+            "chains": chains, "warmup": warmup, "samples": samples,
             "seconds": round(elapsed, 2),
             "ess_min": round(float(ess.min()), 1),
             "ess_per_param": [round(float(v), 1) for v in ess],
             "divergence_frac": round(float(res.diverging.mean()), 4),
             "step_size": float(res.step_size),
             "compile_plus_run_seconds": round(t_compile, 1),
-            "backend": jax.default_backend(),
-            "x64": bool(jax.config.jax_enable_x64),
-        },
+        }
+
+    primary = measure(algorithm, num_warmup, num_samples, num_chains, 1)
+    detail = {
+        "n": n, "backend": jax.default_backend(),
+        "x64": bool(jax.config.jax_enable_x64),
+    }
+    detail.update(primary)
+
+    # The literal BASELINE metric is *NUTS* ESS/s; ChEES is the recommended
+    # default (cross-validated posterior, tests/test_samplers.py).  When
+    # ChEES is the headline, also measure a shorter NUTS leg — both run
+    # over the same fused Pallas value+gradient kernel (NUTS through the
+    # custom_vmap seam in samplers/mcmc.py).
+    if algorithm == "chees" and os.environ.get("BENCH_SECONDARY", "nuts"):
+        sec = measure("nuts", num_warmup,
+                      int(os.environ.get("BENCH_NUTS_SAMPLES", 300)),
+                      num_chains, 2)
+        detail["nuts"] = sec
+        detail["nuts_ess_per_s"] = round(sec["ess_per_s"], 3)
+
+    value = primary["ess_per_s"]
+    print(json.dumps({
+        "metric": "{0} effective-samples/s/chip, Matern32 GP N=1k".format(
+            algorithm.upper()),
+        "value": round(value, 3),
+        "unit": "ess/s",
+        "vs_baseline": round(value / REFERENCE_ESS_PER_S, 2),
+        "detail": detail,
     }))
 
 

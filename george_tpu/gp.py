@@ -296,6 +296,12 @@ class GP(ModelSet):
             inv = self.solver._inv_order
             g_wn_vec = g_wn_sorted[inv]
             alpha = alpha_sorted[inv]
+        elif hasattr(self.solver, "grad_core"):
+            # Factorization-aware path (e.g. HODLR): reverse mode through
+            # the solver's own structure, never materializing N x N.
+            g_theta, g_wn_vec, alpha = self.solver.grad_core(
+                node, theta, wn_vec, r, self._yerr2
+            )
         else:
             g_theta, g_wn_vec, alpha = (
                 np.asarray(v) for v in linalg.grad_core_fn(node)(

@@ -328,25 +328,35 @@ def hodlr_compute(node, theta, x, diag_noise, min_size=100, tol=0.1,
     diag_pad = jnp.concatenate([diag_noise, jnp.ones(pad, x.dtype)])
     valid = jnp.arange(n_pad) < n
 
-    ranks = tuple(
-        min(n_pad >> (q + 1), max_rank) if max_rank
-        else _rank_cap(tol, n_pad >> (q + 1))
+    full = tuple(n_pad >> (q + 1) for q in range(levels))
+    caps = [
+        min(full[q], max_rank) if max_rank
+        else _rank_cap(tol, full[q])
         for q in range(levels)
-    )
+    ]
 
-    leaf_chol, U0s, V0s, Uts, Vts, S_lus, stats = _compute_all_fn(
-        node, levels, leaf_size, ranks
-    )(theta, x_pad, diag_pad, valid, jnp.asarray(tol, x.dtype))
+    # Rank-adaptive escalation: the reference's sequential ACA grows each
+    # block's rank until the tolerance is met (hodlr.h:136-221); the
+    # batched lockstep formulation uses static ranks, so saturation retries
+    # the factorization with doubled caps instead of silently degrading.
+    for _attempt in range(4):
+        ranks = tuple(min(full[q], caps[q]) for q in range(levels))
+        leaf_chol, U0s, V0s, Uts, Vts, S_lus, stats = _compute_all_fn(
+            node, levels, leaf_size, ranks
+        )(theta, x_pad, diag_pad, valid, jnp.asarray(tol, x.dtype))
+        stats = np.asarray(stats)  # the single host<->device sync
+        if stats[1] == 0.0 or ranks == full:
+            break
+        caps = [c * 2 for c in caps]
 
-    stats = np.asarray(stats)  # the single host<->device synchronization
     logdet = float(stats[0])
     if stats[1] != 0.0:
         import warnings
         warnings.warn(
-            "HODLR off-diagonal blocks did not reach tol={0} within the "
-            "rank caps {1}; results are approximate.  Raise max_rank=, "
-            "loosen tol, or sort the inputs (nd_sort_samples) for better "
-            "compression.".format(tol, ranks)
+            "HODLR off-diagonal blocks did not reach tol={0} within rank "
+            "caps {1} (after automatic escalation); results are "
+            "approximate.  Loosen tol or sort the inputs "
+            "(nd_sort_samples) for better compression.".format(tol, ranks)
         )
     if not np.isfinite(logdet):
         from scipy.linalg import LinAlgError
@@ -358,6 +368,75 @@ def hodlr_compute(node, theta, x, diag_noise, min_size=100, tol=0.1,
         level_Ut=Uts, level_Vt=Vts, level_S_lu=S_lus,
         log_determinant=logdet,
     )
+
+
+@lru_cache(maxsize=None)
+def hodlr_grad_fn(node, levels, leaf_size, ranks):
+    """Factorization-aware gradient core: reverse mode through the level
+    sweeps, never materializing an N x N matrix.
+
+    Returns ``core(theta, wn_vec, x_pad, r_pad, yerr2_pad, valid, tol)
+    -> (g_theta, g_wn (n_pad,), alpha (n_pad,))`` differentiating
+    ``-0.5 (logdet + r^T K^{-1} r)`` with
+    ``K = k(theta) + diag(yerr2 + exp(wn))``.  The reference has no analog
+    (its HODLR gradient goes through a dense N x N inverse, gp.py:436);
+    memory here is O(N rank log N) — the factorization's own footprint.
+    """
+    compute = _compute_all_fn(node, levels, leaf_size, ranks)
+
+    def nll_half(theta, wn_vec, x_pad, r_pad, yerr2_pad, valid, tol):
+        diag_pad = jnp.where(
+            valid, yerr2_pad + jnp.exp(wn_vec), 1.0
+        )
+        leaf_chol, U0s, V0s, Uts, Vts, S_lus, stats = compute(
+            theta, x_pad, diag_pad, valid, tol
+        )
+        alpha = _solve_all(
+            leaf_chol, U0s, V0s, Uts, Vts, S_lus, r_pad[:, None]
+        )[:, 0]
+        ll = -0.5 * (stats[0] + jnp.sum(r_pad * alpha))
+        return ll, alpha
+
+    grad = jax.grad(nll_half, argnums=(0, 1), has_aux=True)
+
+    @jax.jit
+    def core(theta, wn_vec, x_pad, r_pad, yerr2_pad, valid, tol):
+        (g_theta, g_wn), alpha = grad(
+            theta, wn_vec, x_pad, r_pad, yerr2_pad, valid, tol
+        )
+        return g_theta, g_wn, alpha
+
+    return core
+
+
+def hodlr_grad_core(node, fact, theta, wn_vec, x_sorted, r_sorted,
+                    yerr2_sorted, tol):
+    """Gradient of the HODLR marginal likelihood in the solver's sorted
+    order, using the plan/ranks of an existing factorization ``fact``."""
+    n, n_pad = fact.n, fact.n_pad
+    ranks = tuple(int(u.shape[-1]) for u in fact.level_U0)
+    pad = n_pad - n
+    x_pad = jnp.concatenate([
+        jnp.asarray(x_sorted),
+        jnp.broadcast_to(jnp.asarray(x_sorted)[-1:], (pad,
+                                                      x_sorted.shape[1])),
+    ])
+    r_pad = jnp.concatenate([
+        jnp.asarray(r_sorted), jnp.zeros(pad, jnp.asarray(r_sorted).dtype)
+    ])
+    yerr2_pad = jnp.concatenate([
+        jnp.asarray(yerr2_sorted), jnp.ones(pad, x_pad.dtype)
+    ])
+    wn_pad = jnp.concatenate([
+        jnp.asarray(wn_vec), jnp.zeros(pad, x_pad.dtype)
+    ])
+    valid = jnp.arange(n_pad) < n
+    core = hodlr_grad_fn(node, fact.levels, fact.leaf_size, ranks)
+    g_theta, g_wn, alpha = core(
+        jnp.asarray(theta), wn_pad, x_pad, r_pad, yerr2_pad, valid,
+        jnp.asarray(tol, x_pad.dtype),
+    )
+    return g_theta, g_wn[:n], alpha[:n]
 
 
 @jax.jit

@@ -22,42 +22,54 @@ __all__ = [
 ]
 
 
-# Route factorizations above this size through the blocked algorithm on
-# TPU: XLA's native cholesky is column-loop bound there, while the blocked
-# form puts ~97% of the N^3/3 FLOPs into full-width MXU matmuls.  Gated off
-# (threshold effectively infinite) until the block/precision tuning beats
-# XLA's native factorization on chip; see benchmarks/chol16k.py.
-BLOCKED_CHOLESKY_MIN_N = 1 << 30
-_CHOL_BLOCK = 2048
+# Route factorizations at or above this size through the blocked algorithm
+# on TPU: XLA's native cholesky is column-loop bound there, while the
+# blocked form puts ~97% of the N^3/3 FLOPs into full-width MXU matmuls.
+# Measured on one v5e chip (in-jit repeated, no host round-trip):
+# N=16384 build+factor+logdet 51 ms vs 74 ms native; N=8192 18.4 vs 20.4;
+# N=4096 parity — hence the threshold.
+BLOCKED_CHOLESKY_MIN_N = 8192
+_CHOL_BLOCK = 1024
 
 
 def _blocked_cholesky_impl(K, block):
-    """Right-looking blocked Cholesky, unrolled over static panels.
+    """Left-looking blocked Cholesky, unrolled over static panels.
 
-    Each panel: factor the diagonal block with XLA's cholesky, form the
-    sub-diagonal panel with one triangular solve, then downdate the
-    trailing submatrix with a single (N-j)^2 x block matmul — the MXU hot
-    loop.  All slices are static, so the whole factorization is one fused
-    XLA program.
+    Each panel's downdate is accumulated as a sum of MXU matmuls against
+    the previously *computed* panels, which live in a Python list — K is
+    never updated in place, so XLA never copies the O(N^2) buffer (the
+    right-looking ``.at[...]`` formulation spent half its runtime on those
+    copies).  The diagonal block goes through XLA's cholesky, the panel
+    through one triangular solve; the N^3/3 MAC bulk is plain matmuls.
+
+    Precision HIGH (3-pass bf16 decomposition, ~f32-accurate): the default
+    single-pass matmul loses enough of the downdates that ill-conditioned
+    kernels (which XLA's native cholesky factors fine) go indefinite.
     """
     n = K.shape[0]
-    # Full-f32 MXU passes: the default bf16-decomposed matmul loses enough
-    # of the trailing downdate that ill-conditioned kernels (which XLA's
-    # native cholesky factors fine) go indefinite.
-    prec = jax.lax.Precision.HIGHEST
+    prec = jax.lax.Precision.HIGH
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=prec)
+
+    L = jnp.zeros_like(K)
     for j0 in range(0, n, block):
         j1 = min(j0 + block, n)
-        Ld = jnp.linalg.cholesky(K[j0:j1, j0:j1])
-        K = K.at[j0:j1, j0:j1].set(Ld)
+        D = K[j0:j1, j0:j1]
+        A21 = K[j1:, j0:j1]
+        if j0:
+            # Single downdate matmul against the committed prefix — the
+            # MXU hot loop (N^3/3 MACs total across panels).
+            Lrow = L[j0:j1, :j0]
+            D = D - mm(Lrow, Lrow.T)
+            if j1 < n:
+                A21 = A21 - mm(L[j1:, :j0], Lrow.T)
+        Ld = jnp.linalg.cholesky(D)
+        col = [jnp.zeros((j0, j1 - j0), K.dtype), Ld]
         if j1 < n:
-            L21 = solve_triangular(
-                Ld, K[j1:, j0:j1].T, lower=True
-            ).T
-            K = K.at[j1:, j0:j1].set(L21)
-            K = K.at[j1:, j1:].add(
-                -jnp.matmul(L21, L21.T, precision=prec)
-            )
-    return jnp.tril(K)
+            col.append(solve_triangular(Ld, A21.T, lower=True).T)
+        L = L.at[:, j0:j1].set(jnp.concatenate(col, axis=0))
+    return L
 
 
 @jax.custom_vjp

@@ -13,19 +13,29 @@ every step of the factorization is a full-width VPU op:
 
   * covariance build: the kernel expression tree is evaluated on
     (rows, N, 128) tiles — per-axis squared differences are shared across
-    chains, per-chain metric/amplitude parameters ride the lanes;
+    chains (computed as (R, N, 1) arrays whose replicated lane dim
+    broadcasts against the per-chain (1, 1, B) parameters for free);
   * in-place blocked right-looking Cholesky on an (N, N, 128) VMEM
-    resident buffer (8-column panels, unrolled; trailing updates looped);
+    resident buffer (8-column panels, unrolled; trailing updates looped,
+    expressed as sublane reductions so no cross-layout shuffles occur);
   * all 8x8 diagonal blocks of L inverted in ONE batched exact Neumann
     product ((I-G)^-1 = (I+G)(I+G^2)(I+G^4) for nilpotent G);
   * in-place block-substitution triangular inversion L -> S = L^-1;
   * alpha = S^T S r, logdet from the panel pivots;
   * gradient by the reference's closed form 0.5*tr[(aa^T - K^-1) dK]
     (gp.py:406-468) — but tiled: each 8-row block of the cotangent
-    A = aa^T - S^T S is formed on the fly and contracted through
-    ``jax.vjp`` of the covariance-build closure, so neither K^{-1} nor an
-    (N, N, P) gradient tensor is ever materialized
-    (kernel_interface.cpp:92-125 is the reference analog being replaced).
+    A = aa^T - S^T S is formed on the fly and contracted against
+    forward-mode covariance tangents (one jvp direction per active
+    parameter), so neither K^{-1} nor an (N, N, P) gradient tensor is ever
+    materialized (kernel_interface.cpp:92-125 is the reference analog
+    being replaced).
+
+Layout rules this kernel lives by (learned from Mosaic): values only take
+static slices (dynamic indexing goes through refs with ``pl.ds``); getitems
+never mix a real index with ``None``; bool vectors never gain a trailing
+unit dim; shared 2-D quantities are built with the lane dim already
+trailing-and-replicated instead of being minor-dim-expanded later (the
+relayout costs more than the whole factorization).
 
 Semantics match ``samplers.logprob.build_gp_log_prob(method="dense")``:
 ``ll = -0.5 (N log 2pi + logdet + r^T K^-1 r)`` with
@@ -34,6 +44,7 @@ factorization (mapped to -inf by the caller).
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -43,7 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..dsl import compiler
-from ..dsl.compiler import Leaf, Op
+from ..dsl.compiler import Op
 
 __all__ = [
     "pallas_dense_available", "supports_pallas_dense",
@@ -89,12 +100,23 @@ def _round_up(n, m):
 # Batched kernel-tree evaluation on (R, N, B) tiles.
 # ---------------------------------------------------------------------------
 
+def _col(X, a):
+    """Column ``a`` as (rows, 1) — keeps the lane dim replicated."""
+    return X[:, a:a + 1]
+
+
 def _block_mask_f32(node, X1, X2):
-    """Block-window mask as an f32 (R, N, 1) multiplier (bool vectors
-    cannot gain a trailing unit dim under Mosaic)."""
-    m1 = compiler._block_mask(X1, node.axes, node.min_block, node.max_block)
-    m2 = compiler._block_mask(X2, node.axes, node.min_block, node.max_block)
-    return (m1[:, None] & m2[None, :]).astype(jnp.float32)[:, :, None]
+    """Block-window mask as an f32 (R, N, 1) multiplier."""
+    def mask(X):
+        m = None
+        for axis, lo, hi in zip(node.axes, node.min_block, node.max_block):
+            col = _col(X, axis)
+            mi = (col >= lo) & (col <= hi)
+            m = mi if m is None else (m & mi)
+        return m                                         # (rows, 1) bool
+
+    m1, m2 = mask(X1), mask(X2)
+    return (m1[:, None, :] & m2[None, :, :]).astype(jnp.float32)
 
 
 def _batched_builder(node):
@@ -127,17 +149,17 @@ def _batched_builder(node):
             # custom-jvp parameter tangent is identically zero.
             p = th[:node.nparams] if node.nparams else th[:1]
             mp = th[node.nparams:]
-            # Shared per-axis squared differences (R, N); the per-chain
-            # inverse length scales broadcast over the lane axis.
+            # Shared per-axis squared differences, built as (R, N, 1) so
+            # the broadcast against per-chain scales is layout-free.
             d2 = [
-                (X1[:, a][:, None] - X2[:, a][None, :]) ** 2 for a in axes
+                (_col(X1, a)[:, None, :] - _col(X2, a)[None, :, :]) ** 2
+                for a in axes
             ]
             if mtype == 0:
-                s = jnp.exp(-mp[0])
-                r2 = sum(d2)[:, :, None] * s[None, None, :]
+                r2 = sum(d2) * jnp.exp(-mp[0]).reshape(1, 1, -1)
             else:
                 r2 = sum(
-                    d2[i][:, :, None] * jnp.exp(-mp[i])[None, None, :]
+                    d2[i] * jnp.exp(-mp[i]).reshape(1, 1, -1)
                     for i in range(len(axes))
                 )
             K = radial(p, r2)
@@ -153,7 +175,7 @@ def _batched_builder(node):
         total = 0.0
         for a in axes:
             total = total + pair(
-                th, X1[:, a][:, None, None], X2[:, a][None, :, None]
+                th, _col(X1, a)[:, None, :], _col(X2, a)[None, :, :]
             )
         out = jnp.broadcast_to(
             total, (X1.shape[0], X2.shape[0], th.shape[1])
@@ -181,10 +203,10 @@ def _mm8(A, B):
     )
 
 
-def _eye8():
-    """(8, 8) identity built in-kernel (constants must not be captured)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (_T, _T), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (_T, _T), 1)
+def _eye3():
+    """(8, 8, 1) identity with a replicated lane dim, built in-kernel."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (_T, _T, 1), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (_T, _T, 1), 1)
     return (r == c).astype(jnp.float32)
 
 
@@ -194,11 +216,10 @@ def _invert_diag_blocks(blocks):
     D = Lam (I - G) with G strictly lower and nilpotent (G^8 = 0), so
     (I - G)^{-1} = (I + G)(I + G^2)(I + G^4) exactly.
     """
-    eye = _eye8()[None, :, :, None]
+    eye = _eye3()[None]                                  # (1, 8, 8, 1)
     d = jnp.sum(blocks * eye, axis=2)                    # (nb, 8, B)
     inv_d = 1.0 / d
-    G = eye - blocks * inv_d[:, :, None, :]              # unit lower: I-G'
-    # G here equals I - Lam^{-1} D, strictly lower.
+    G = eye - blocks * inv_d[:, :, None, :]              # I - Lam^{-1} D
     G2 = _mm8(G, G)
     G4 = _mm8(G2, G2)
     inv_unit = _mm8(_mm8(eye + G, eye + G2), eye + G4)   # (I - G)^{-1}
@@ -208,42 +229,48 @@ def _invert_diag_blocks(blocks):
 def _cholesky_in_place(M, n):
     """Blocked right-looking Cholesky on the (N, N, B) scratch ref.
 
-    Returns the summed log-determinant (B,).  Panels are unrolled (static
-    slices exploit the triangular structure exactly); trailing updates run
-    in a fori_loop over 8-column blocks.  Entries above the diagonal are
-    left as garbage — valid entries never read them — and are zeroed by
-    the caller afterwards.
+    Returns the summed log-determinant (1, B).  Each panel is read once as
+    an (H, 8, B) tile and factored with (H, 1, B) column arithmetic; the
+    trailing downdate contracts over the sublane (column) axis, so no
+    cross-layout shuffles occur.  Entries above the diagonal are left as
+    garbage — valid entries never read them — and are zeroed by the caller
+    afterwards.
     """
     nb = n // _T
-    logdet = jnp.zeros((_LANES,), jnp.float32)
+    logdet = jnp.zeros((1, _LANES), jnp.float32)
 
     for jb in range(nb):
         j0 = jb * _T
-        # -- panel factorization (columns j0 .. j0+7, rows j0 ..).
+        P = M[j0:, j0:j0 + _T, :]                        # (H, 8, B)
         cols = []
         for t in range(_T):
-            c = M[j0:, j0 + t, :]                        # (n - j0, B)
+            c = P[:, t:t + 1, :]                         # (H, 1, B)
             for s in range(t):
                 c = c - cols[s] * cols[s][t]
-            piv = c[t]
+            piv = c[t]                                   # (1, B)
             logdet = logdet + jnp.log(piv)
             c = c * (1.0 / jnp.sqrt(piv))
             cols.append(c)
-            M[j0:, j0 + t, :] = c
-        # -- trailing update: K[j1:, c] -= sum_s L[j1:, j0+s] L[c, j0+s].
+        Pnew = jnp.concatenate(cols, axis=1)             # (H, 8, B)
+        M[j0:, j0:j0 + _T, :] = Pnew
+
+        # Trailing downdate: K[j1:, c] -= sum_s L[j1:, j0+s] L[c, j0+s].
         j1 = j0 + _T
         if j1 < n:
-            panel = jnp.stack([c[_T:] for c in cols], axis=1)  # (n-j1,8,B)
+            panel = Pnew[_T:]                            # (H-8, 8, B)
 
             def trail(cb, _):
                 c0 = j1 + cb * _T
-                acc = M[j1:, pl.ds(c0, _T), :]           # (n-j1, 8, B)
-                fac = M[pl.ds(c0, _T), pl.ds(j0, _T), :]  # (8, 8, B)
-                acc = acc - sum(
-                    panel[:, s, :][:, None, :] * fac[:, s, :][None, :, :]
-                    for s in range(_T)
+                F = M[pl.ds(c0, _T), pl.ds(j0, _T), :]   # (8c, 8s, B)
+                upd = [
+                    jnp.sum(panel * F[c][None, :, :], axis=1,
+                            keepdims=True)
+                    for c in range(_T)
+                ]
+                M[j1:, pl.ds(c0, _T), :] = (
+                    M[j1:, pl.ds(c0, _T), :]
+                    - jnp.concatenate(upd, axis=1)
                 )
-                M[j1:, pl.ds(c0, _T), :] = acc
                 return _
 
             jax.lax.fori_loop(0, (n - j1) // _T, trail, 0)
@@ -252,9 +279,9 @@ def _cholesky_in_place(M, n):
 
 def _zero_upper(M, n):
     """Zero the garbage above the diagonal (panel by panel, static)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (_T, _T), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (_T, _T), 1)
-    low = (r >= c).astype(jnp.float32)[:, :, None]
+    r = jax.lax.broadcasted_iota(jnp.int32, (_T, _T, 1), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (_T, _T, 1), 1)
+    low = (r >= c).astype(jnp.float32)
     for jb in range(n // _T):
         j0 = jb * _T
         if j0 > 0:
@@ -273,7 +300,7 @@ def _trtri_in_place(M, Z, Dref, n):
     to the right still hold L when they are read; panels to the left are
     already S and are never read.
     """
-    eye = jnp.broadcast_to(_eye8()[:, :, None], (_T, _T, _LANES))
+    eye = jnp.broadcast_to(_eye3(), (_T, _T, _LANES))
     nb = n // _T
     for jb in range(nb):
         j0 = jb * _T
@@ -299,35 +326,23 @@ def _trtri_in_place(M, Z, Dref, n):
         M[j0:, j0:j0 + _T, :] = Z[:n - j0, :, :]
 
 
-def _apply_sts(M, Rbuf, Zbuf, n):
-    """alpha = S^T (S r) with S = L^{-1} resident in M.
+def _apply_sts(M, r, n):
+    """alpha = S^T (S r) with S = L^{-1} resident in M; r is (N, B).
 
-    ``Rbuf`` holds r; intermediate z = S r is staged through ``Zbuf`` so
-    the back-application can read its rows dynamically (values only
-    support static slices in Mosaic — refs take ``pl.ds``).
+    Row-block reads only: z = S r reduces over the sublane (column) axis;
+    the back-application accumulates leading-row fmas.  Fully static.
     """
-    def zstep(kb, z):
-        k0 = kb * _T
-        return z + sum(
-            M[:, pl.ds(k0 + w, 1), :][:, 0, :]
-            * Rbuf[pl.ds(k0 + w, 1), :]
-            for w in range(_T)
+    zs = []
+    for ib in range(n // _T):
+        Sb = M[ib * _T:(ib + 1) * _T, :, :]              # (8, N, B)
+        zs.append(jnp.sum(Sb * r[None], axis=1))         # (8, B)
+    alpha = jnp.zeros((n, _LANES), jnp.float32)
+    for ib in range(n // _T):
+        Sb = M[ib * _T:(ib + 1) * _T, :, :]
+        alpha = alpha + sum(
+            Sb[w] * zs[ib][w] for w in range(_T)
         )
-
-    Zbuf[...] = jax.lax.fori_loop(
-        0, n // _T, zstep, jnp.zeros((n, _LANES), jnp.float32)
-    )
-
-    def astep(ib, a):
-        i0 = ib * _T
-        return a + sum(
-            M[pl.ds(i0 + w, 1), :, :][0] * Zbuf[pl.ds(i0 + w, 1), :]
-            for w in range(_T)
-        )
-
-    return jax.lax.fori_loop(
-        0, n // _T, astep, jnp.zeros((n, _LANES), jnp.float32)
-    )
+    return alpha
 
 
 # ---------------------------------------------------------------------------
@@ -337,14 +352,15 @@ def _apply_sts(M, Rbuf, Zbuf, n):
 @functools.lru_cache(maxsize=None)
 def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
     """Trace-time construction.  ``active``: full-vector indices needing
-    gradients; full layout [mean | white-noise | kernel]."""
+    gradients; full layout [mean | white-noise | kernel].  ``stage``
+    truncates the kernel after a pipeline step (profiling/bisection aid;
+    99 = full kernel)."""
     build = _batched_builder(node)
     nb = n_pad // _T
     n_scalar = n_mean + n_wn
     n_act = len(active)
 
-    def kernel(th_ref, x_ref, y_ref, v_ref, ll_ref, g_ref, M, Z,
-               Rbuf, Zbuf, Dref):
+    def kernel(th_ref, x_ref, y_ref, v_ref, ll_ref, g_ref, M, Z, Dref):
         th = th_ref[...]                                  # (P, B)
         X = x_ref[...]                                    # (n_pad, d)
         y = y_ref[...]                                    # (n_pad, 1)
@@ -366,21 +382,19 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
             """Covariance rows [8*ib, 8*ib+8) incl. noise + padding."""
             i0 = ib * _T
             Kb = build(th_k_, X[i0:i0 + _T], X)           # (8, n_pad, B)
-            noise = v[i0:i0 + _T] + (
-                jnp.exp(wn_)[None, :] if n_wn else 0.0
-            )
+            noise = v[i0:i0 + _T][:, :, None] + (
+                jnp.exp(wn_).reshape(1, 1, -1) if n_wn else 0.0
+            )                                             # (8, 1, B|1)
             rr = i0 + jax.lax.broadcasted_iota(
-                jnp.int32, (_T, n_pad), 0
+                jnp.int32, (_T, n_pad, 1), 0
             )
-            cc = jax.lax.broadcasted_iota(jnp.int32, (_T, n_pad), 1)
-            dmask = (rr == cc).astype(jnp.float32)[:, :, None]
-            Kb = Kb + dmask * noise[:, None, :]
+            cc = jax.lax.broadcasted_iota(jnp.int32, (_T, n_pad, 1), 1)
+            dmask = (rr == cc).astype(jnp.float32)        # (8, n_pad, 1)
+            Kb = Kb + dmask * noise
             # f32 blend, not where-on-bool: Mosaic cannot reshape i1
             # vectors to a trailing unit dim.  Padded rows/cols become the
             # identity, so their pivots are 1 and logdet/alpha are clean.
-            inb = ((rr < n_real) & (cc < n_real)).astype(
-                jnp.float32
-            )[:, :, None]
+            inb = ((rr < n_real) & (cc < n_real)).astype(jnp.float32)
             return Kb * inb + dmask * (1.0 - inb)
 
         def bail(val):
@@ -394,7 +408,7 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
             return bail(M[0, 0, :])
 
         # 2. factorize; 3. clean upper garbage; 4. diag-block inverses.
-        logdet = _cholesky_in_place(M, n_pad)
+        logdet = _cholesky_in_place(M, n_pad)[0]
         if stage <= 2:
             return bail(logdet)
         _zero_upper(M, n_pad)
@@ -409,8 +423,7 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
         _trtri_in_place(M, Z, Dref, n_pad)
         if stage <= 4:
             return bail(M[0, 0, :])
-        Rbuf[...] = r
-        alpha = _apply_sts(M, Rbuf, Zbuf, n_pad)
+        alpha = _apply_sts(M, r, n_pad)
         quad = jnp.sum(r * alpha, axis=0)
         ll = -0.5 * (n_real * _LOG_2PI + logdet + quad)
         # (1, 8, 128) output block: broadcast over the sublane tile.
@@ -420,7 +433,9 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
             return
 
         # 7. gradient: blockwise A = aa^T - S^T S contracted with jvp-built
-        # covariance tangents (one direction per active parameter).
+        # covariance tangents (one direction per active parameter).  The
+        # row blocks of S^T S accumulate as 8 separate (N, B) carries so
+        # every operand is a natural leading-row read or a lane-scalar.
         g_mean = jnp.sum(alpha, axis=0) if n_mean else None
         g_act = {
             a: jnp.zeros((_LANES,), jnp.float32)
@@ -430,25 +445,30 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
         for ib in range(nb if stage > 7 else 1):
             i0 = ib * _T
 
-            def sts_rows(kb, acc):
+            def sts_rows(kb, Gs):
                 k0 = kb * _T
-                return acc + sum(
-                    M[pl.ds(k0 + w, 1), i0:i0 + _T, :][0][:, None, :]
-                    * M[pl.ds(k0 + w, 1), :, :][0][None, :, :]
-                    for w in range(_T)
-                )
+                Sk = M[pl.ds(k0, _T), :, :]               # (8, N, B)
+                rows = [Sk[w] for w in range(_T)]
+                out = []
+                for u in range(_T):
+                    g = Gs[u]
+                    for w in range(_T):
+                        g = g + rows[w][i0 + u] * rows[w]
+                    out.append(g)
+                return tuple(out)
 
-            G_blk = jax.lax.fori_loop(
+            Gs = jax.lax.fori_loop(
                 ib, nb, sts_rows,
-                jnp.zeros((_T, n_pad, _LANES), jnp.float32),
+                tuple(jnp.zeros((n_pad, _LANES), jnp.float32)
+                      for _ in range(_T)),
             )
             if stage <= 6:
-                return bail(G_blk[0, 0, :])
-            A_half = 0.5 * (
-                alpha[i0:i0 + _T][:, None, :] * alpha[None, :, :] - G_blk
-            )
+                return bail(Gs[0][0])
+            A_halves = [
+                0.5 * (alpha[i0 + u] * alpha - Gs[u]) for u in range(_T)
+            ]
             if stage <= 7:
-                return bail(A_half[0, 0, :])
+                return bail(A_halves[0][0])
 
             # Contract with dK/dtheta_a by FORWARD-mode jvp, one direction
             # per active parameter (reverse-mode transposes of the radial
@@ -477,7 +497,10 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
                         lambda tk: build_rows(ib, tk, None),
                         (th_k,), (tk_dir,),
                     )
-                g_act[a] = g_act[a] + jnp.sum(A_half * dK, axis=(0, 1))
+                g_act[a] = g_act[a] + sum(
+                    jnp.sum(A_halves[u] * dK[u], axis=0)
+                    for u in range(_T)
+                )
 
         for j, a in enumerate(active):
             g_ref[0, j, :] = g_mean if a < n_mean else g_act[a]
@@ -519,7 +542,6 @@ def make_dense_batched_vg(node, x, y, yerr2, n_mean, n_wn, active,
         np.pad(np.asarray(yerr2, np.float32), pad1)[:, None]
     )
 
-    import os
     kernel, n_act = _kernel_builder(
         node, n_pad, n_real, int(n_mean), int(n_wn),
         tuple(int(a) for a in active),
@@ -561,12 +583,10 @@ def make_dense_batched_vg(node, x, y, yerr2, n_mean, n_wn, active,
             scratch_shapes=[
                 pltpu.VMEM((n_pad, n_pad, _LANES), jnp.float32),
                 pltpu.VMEM((n_pad, _T, _LANES), jnp.float32),
-                pltpu.VMEM((n_pad, _LANES), jnp.float32),
-                pltpu.VMEM((n_pad, _LANES), jnp.float32),
                 pltpu.VMEM((n_pad // _T, _T, _T, _LANES), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                # The (N, N, 128) buffer plus transient build/vjp tiles sit
+                # The (N, N, 128) buffer plus transient build/jvp tiles sit
                 # just above the default 16 MB scoped-vmem budget at N=128.
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),

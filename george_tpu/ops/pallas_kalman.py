@@ -42,10 +42,16 @@ __all__ = ["pallas_kalman_available", "make_kalman_vg", "MAX_N"]
 _LANES = 128
 _MIN_ROWS = 8          # float32 register tile is (8, 128)
 
-# The shared time series (dt, y, yerr2) lives in SMEM: 3 x 4 x N bytes.
-# Beyond this N the kernel would exceed the scalar-memory budget; callers
-# must fall back to the scan path instead of failing at Mosaic compile.
-MAX_N = 32768
+# Up to this N the shared time series (dt, y, yerr2) lives fully in SMEM
+# (3 x 4 x N bytes).  Longer series stream chunk-by-chunk from HBM into a
+# double-buffered SMEM window (the DMA for chunk c+1 overlaps the filter
+# steps of chunk c), which lifts the cap to the HBM-resident limit below.
+_SMEM_N = 32768
+_STREAM_CHUNK = 4096
+
+# Hard cap for the streaming path (HBM footprint is 3 x 4 x N bytes — tiny;
+# this bound just keeps padded shapes sane).
+MAX_N = 1 << 22
 
 
 def pallas_kalman_available():
@@ -152,6 +158,135 @@ def _kernel_builder(node, n, n_mean, n_wn, active):
     return kernel, n_act
 
 
+@functools.lru_cache(maxsize=None)
+def _kernel_builder_streaming(node, n, n_mean, n_wn, active, chunk):
+    """Streaming variant: the (dt, y, v) series stays in HBM and is DMA'd
+    chunk-by-chunk into a double-buffered SMEM window, overlapping the
+    next chunk's transfer with the current chunk's filter steps.  Same
+    per-step math as :func:`_kernel_builder`; series arrays arrive
+    pre-shifted (y/v aligned with dt so step k reads index k) and padded
+    to a chunk multiple, with (y0, v0) passed separately for the first
+    observation update.
+    """
+    terms = extract_terms(node)
+    fm = _FilterMachine(terms)
+    n_act = len(active)
+    n_steps = n - 1
+    n_chunks = -(-n_steps // chunk)
+
+    def q_of(params):
+        th_k = params[n_mean + n_wn:]
+        sig_rates = [
+            tuple(jnp.asarray(u, jnp.float32) for u in sr)
+            for sr in fm.sig_rates(th_k)
+        ]
+        mu = params[0] if n_mean else None
+        vwn = jnp.exp(params[n_mean]) if n_wn else None
+        return (sig_rates, mu, vwn)
+
+    def kernel_with_scratch(*args):
+        nin = n_mean + n_wn + 1 + 1 + 3            # params, first, series
+        refs = args[:nin + 2]                      # + out, jac
+        dt_s, y_s, v_s, sems = args[nin + 2:]
+
+        param_refs = refs[:n_mean + n_wn + 1]
+        first_ref = refs[n_mean + n_wn + 1]
+        dt_hbm, y_hbm, v_hbm = refs[nin - 3:nin]
+        out_ref, jac_ref = refs[nin:nin + 2]
+
+        th_k_ref = param_refs[-1]
+        p_k = th_k_ref.shape[0]
+        scalar_params = [r[...] for r in param_refs[:-1]]
+        params = tuple(scalar_params) + tuple(
+            th_k_ref[i] for i in range(p_k)
+        )
+        zero = jnp.zeros_like(params[0] if params else th_k_ref[0])
+        one = jnp.ones_like(zero)
+
+        def basis(j):
+            return tuple(one if i == j else zero
+                         for i in range(len(params)))
+
+        q = q_of(params)
+        dq = [jax.jvp(q_of, (params,), (basis(j),))[1] for j in active]
+
+        y0 = first_ref[0]
+        v0_s = first_ref[1]
+
+        def first(q_):
+            sig_rates, mu, vwn = q_
+            m0, P0 = fm.init_stationary(sig_rates, zero)
+            r0 = y0 - (mu if mu is not None else 0.0)
+            v0 = v0_s + (vwn if vwn is not None else 0.0)
+            return fm.flatten(*fm.obs_update(m0, P0, r0, v0, zero))
+
+        prim = first(q)
+        tans = [jax.jvp(first, (q,), (dq[j],))[1] for j in range(n_act)]
+
+        streams = ((dt_hbm, dt_s), (y_hbm, y_s), (v_hbm, v_s))
+
+        # The SMEM windows are flat (2 * chunk,) buffers — slot-major —
+        # because Mosaic cannot slice a (2, chunk) SMEM memref on the
+        # sublane-tiled leading dim.
+        def copies(c, slot):
+            return [
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(c * chunk, chunk)],
+                    smem.at[pl.ds(slot * chunk, chunk)],
+                    sems.at[a, slot],
+                )
+                for a, (hbm, smem) in enumerate(streams)
+            ]
+
+        for dma in copies(0, 0):
+            dma.start()
+
+        def chunk_body(c, carry):
+            slot = c % 2
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in copies(c + 1, (c + 1) % 2):
+                    dma.start()
+
+            for dma in copies(c, slot):
+                dma.wait()
+
+            def body(i, carry2):
+                prim, tans = carry2
+                dt_k = dt_s[slot * chunk + i]
+                y_k = y_s[slot * chunk + i]
+                v_k = v_s[slot * chunk + i]
+
+                def f(state, q_):
+                    sig_rates, mu, vwn = q_
+                    m, P, acc = fm.unflatten(state)
+                    r = y_k - (mu if mu is not None else 0.0)
+                    v = v_k + (vwn if vwn is not None else 0.0)
+                    return fm.flatten(
+                        *fm.step(m, P, acc, sig_rates, dt_k, r, v)
+                    )
+
+                new_prim = f(prim, q)
+                new_tans = tuple(
+                    jax.jvp(f, (prim, q), (tans[j], dq[j]))[1]
+                    for j in range(n_act)
+                )
+                return new_prim, new_tans
+
+            steps_here = jnp.minimum(chunk, n_steps - c * chunk)
+            return jax.lax.fori_loop(0, steps_here, body, carry)
+
+        prim, tans = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (prim, tuple(tans))
+        )
+        out_ref[...] = prim[-1]
+        for j in range(n_act):
+            jac_ref[j] = tans[j][-1]
+
+    return kernel_with_scratch, n_act
+
+
 def make_kalman_vg(node, t, y, yerr2, n_mean, n_wn, active,
                    interpret=False):
     """Build ``vg(theta_full_b) -> (ll (B,), grad (B, n_active))``.
@@ -165,16 +300,50 @@ def make_kalman_vg(node, t, y, yerr2, n_mean, n_wn, active,
     :param interpret: run the Pallas kernel in interpret mode (CPU tests).
     """
     n = int(len(t))
+    if n > MAX_N:
+        raise ValueError("series too long for the fused Kalman kernel")
+    streaming = n > _SMEM_N
     # Gaps in f64 BEFORE the f32 cast: f32 resolution at large |t| (e.g.
     # astronomical epochs ~2.45e6) is coarser than typical cadences, and
     # only the differences enter the filter.
-    dt = jnp.asarray(np.diff(np.asarray(t, np.float64)), jnp.float32)
-    y_dev = jnp.asarray(y, jnp.float32)
-    v_dev = jnp.asarray(yerr2, jnp.float32)
-    kernel, n_act = _kernel_builder(
-        node, n, int(n_mean), int(n_wn), tuple(int(a) for a in active)
-    )
+    dt_host = np.diff(np.asarray(t, np.float64)).astype(np.float32)
+    y_host = np.asarray(y, np.float32)
+    v_host = np.asarray(yerr2, np.float32)
     n_scalar = int(n_mean) + int(n_wn)
+
+    if streaming:
+        chunk = _STREAM_CHUNK
+        pad = _round_up(n - 1, chunk) - (n - 1)
+        series = tuple(
+            jnp.asarray(np.pad(a, ((0, pad),)))
+            for a in (dt_host, y_host[1:], v_host[1:])
+        )
+        first_dev = jnp.asarray(
+            np.array([y_host[0], v_host[0]], np.float32)
+        )
+        kernel, n_act = _kernel_builder_streaming(
+            node, n, int(n_mean), int(n_wn),
+            tuple(int(a) for a in active), chunk,
+        )
+        extra_in = [first_dev, *series]
+        extra_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        )
+        scratch = [
+            pltpu.SMEM((2 * chunk,), jnp.float32),
+            pltpu.SMEM((2 * chunk,), jnp.float32),
+            pltpu.SMEM((2 * chunk,), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ]
+    else:
+        kernel, n_act = _kernel_builder(
+            node, n, int(n_mean), int(n_wn), tuple(int(a) for a in active)
+        )
+        extra_in = [jnp.asarray(dt_host), jnp.asarray(y_host),
+                    jnp.asarray(v_host)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        scratch = []
 
     def vg(theta_full_b):
         """theta_full_b: (B, D_full) float32."""
@@ -199,11 +368,12 @@ def make_kalman_vg(node, t, y, yerr2, n_mean, n_wn, active,
             in_specs=(
                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_scalar
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-                + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+                + extra_specs
             ),
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(*scalar_tiles, th_k_tiles, dt, y_dev, v_dev)
+        )(*scalar_tiles, th_k_tiles, *extra_in)
 
         ll = out.reshape(b_pad)[:B]
         grad = jac.reshape(n_act, b_pad)[:, :B].T

@@ -85,6 +85,15 @@ def cholesky_local(K_local, axis_name, block_size=256):
     cols = jnp.arange(n)
     dtype = K_local.dtype
 
+    # Trailing updates run per column *chunk* under lax.cond, so chunks
+    # entirely left of the panel are skipped instead of masked — this
+    # removes the ~2x FLOP overhead of the uniform-shape formulation (the
+    # matmul only runs for chunks at or right of the panel).
+    n_chunks = max(1, min(8, nb))
+    while n % (n_chunks * block_size):
+        n_chunks -= 1
+    chunk = n // n_chunks
+
     def body(k, carry):
         K_loc, logdet = carry
         off = k * block_size
@@ -106,11 +115,32 @@ def cholesky_local(K_local, axis_name, block_size=256):
         Lp_loc = solve_triangular(Ld, col.T, lower=True).T
         Lp_full = solve_triangular(Ld, full_col.T, lower=True).T
 
-        # Trailing update on the local stripe, masked to the columns and
-        # source rows strictly below/right of the panel.
-        below = (jnp.arange(n) >= off + block_size)[:, None]
-        update = Lp_loc @ jnp.where(below, Lp_full, 0).T
-        K_loc = K_loc - update
+        def upd_chunk(c, K_loc):
+            c0 = c * chunk
+            # Within the chunk holding the panel, columns <= panel must
+            # stay untouched; strictly-right chunks take the full product.
+            csl = jax.lax.dynamic_slice(
+                Lp_full, (c0, 0), (chunk, block_size)
+            )
+            mask = (c0 + jnp.arange(chunk) >= off + block_size)[:, None]
+            upd = Lp_loc @ jnp.where(mask, csl, 0).T     # (n_loc, chunk)
+            old = jax.lax.dynamic_slice(
+                K_loc, (0, c0), (n_local, chunk)
+            )
+            return jax.lax.dynamic_update_slice(
+                K_loc, old - upd, (0, c0)
+            )
+
+        def chunk_step(c, K_loc):
+            # Skip chunks that end at or before the panel's last column.
+            return jax.lax.cond(
+                (c + 1) * chunk > off + block_size,
+                lambda K: upd_chunk(c, K),
+                lambda K: K,
+                K_loc,
+            )
+
+        K_loc = jax.lax.fori_loop(0, n_chunks, chunk_step, K_loc)
         K_loc = jax.lax.dynamic_update_slice(K_loc, Lp_loc, (0, off))
         return K_loc, logdet
 
@@ -230,32 +260,48 @@ def distributed_cholesky(K, mesh, axis_name="data", block_size=256):
 
 
 def distributed_loglike_fn(kernel_value, mean_fn, wn_fn, n_total,
-                           axis_name="data", block_size=256):
+                           axis_name="data", block_size=256, n_real=None):
     """Fully-distributed GP marginal log-likelihood (call inside shard_map).
 
     Returns ``ll(theta_kernel, theta_mean, theta_wn, x_local, y_local,
     yerr2_local)`` where the data arrays are this device's row shard.  The
     covariance never exists unsharded: each device builds its (N/P, N) row
     stripe, the factorization is :func:`cholesky_local`, and the quadratic
-    form reduces with psum.  N/P must be a multiple of ``block_size``.
+    form reduces with psum.  ``n_total`` (the padded, sharded size) must be
+    a multiple of ``P * block_size``; when ``n_real < n_total`` the padded
+    rows/columns become the identity (zero covariance, unit diagonal, zero
+    residual) so they contribute nothing to logdet or the quadratic form —
+    this is how the factory lifts the divisibility restriction.
     """
+    if n_real is None:
+        n_real = n_total
 
     def ll(th_kernel, th_mean, th_wn, x_local, y_local, yerr2_local):
         n_local = x_local.shape[0]
         grows = _global_rows(n_local, axis_name)
         x_full = jax.lax.all_gather(x_local, axis_name, axis=0, tiled=True)
         y_full = jax.lax.all_gather(y_local, axis_name, axis=0, tiled=True)
+        vloc = grows < n_real
+        vfull = jnp.arange(n_total) < n_real
 
         stripe = kernel_value(th_kernel, x_local, x_full)   # (n_loc, N)
+        if n_real != n_total:
+            stripe = jnp.where(
+                vloc[:, None] & vfull[None, :], stripe, 0.0
+            )
         diag_noise = yerr2_local + jnp.exp(wn_fn(th_wn, x_local))
+        if n_real != n_total:
+            diag_noise = jnp.where(vloc, diag_noise, 1.0)
         stripe = stripe.at[jnp.arange(n_local), grows].add(diag_noise)
 
         L_local, logdet = cholesky_local(
             stripe, axis_name, block_size=block_size
         )
         r = y_full - mean_fn(th_mean, x_full)
+        if n_real != n_total:
+            r = jnp.where(vfull, r, 0.0)
         alpha = solve_local(L_local, r, axis_name, block_size=block_size)
-        norm = n_total * jnp.log(2.0 * jnp.pi).astype(r.dtype)
+        norm = n_real * jnp.log(2.0 * jnp.pi).astype(r.dtype)
         out = -0.5 * (norm + logdet + jnp.dot(r, alpha))
         # Every device computed the identical scalar, but its vma type is
         # "varying" (it came through gathers).  pmean makes it invariant —

@@ -37,9 +37,15 @@ __all__ = ["run_mcmc_sharded", "run_smc_sharded",
            "make_sharded_gp_log_prob_factory"]
 
 
+# Data-sharded likelihoods at or above this N default onto the fully
+# distributed (stripe-resident) Cholesky: below it, the replicated
+# factorization is faster and the K-per-device memory is immaterial.
+DIST_CHOL_MIN_N = 8192
+
+
 def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
-                                     distributed_cholesky=False,
-                                     block_size=256):
+                                     distributed_cholesky="auto",
+                                     block_size=256, mesh=None):
     """Build a factory for data-sharded GP log-probs.
 
     Returns ``(factory, (x, y, yerr2))`` where the arrays are the *global*
@@ -48,10 +54,13 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
     local log-density inside ``shard_map``, using an ``all_gather`` over
     ``data_axis`` to assemble covariance stripes.
 
-    With ``distributed_cholesky=True`` the O(N^3) factorization itself runs
-    sharded (blocked panel Cholesky + psum substitutions — see
+    With ``distributed_cholesky`` enabled — ``"auto"`` (the default)
+    switches it on at N >= ``DIST_CHOL_MIN_N`` — the O(N^3) factorization
+    itself runs sharded (blocked panel Cholesky + psum substitutions — see
     :mod:`george_tpu.parallel.dist_chol`); K never materializes on one
-    device.  Requires N/P divisible by ``block_size``.
+    device.  Pass ``mesh`` so the dataset can be padded internally to a
+    ``P * block_size`` multiple (otherwise N/P must already divide
+    ``block_size``).
     """
     x_host = np.ascontiguousarray(gp.parse_samples(x), dtype=np.float64)
     y_host = np.asarray(y, dtype=np.float64)
@@ -69,15 +78,30 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
     theta_full0 = jnp.asarray(gp.get_parameter_vector(include_frozen=True))
     unfrozen = np.flatnonzero(gp.unfrozen_mask)
     lo, hi = _bounds_arrays(gp)
-    n_total = x_host.shape[0]
-    norm_const = 0.5 * n_total * np.log(2.0 * np.pi)
+    n_real = x_host.shape[0]
+    n_total = n_real
+    norm_const = 0.5 * n_real * np.log(2.0 * np.pi)
+
+    if distributed_cholesky == "auto":
+        distributed_cholesky = n_real >= DIST_CHOL_MIN_N
 
     if distributed_cholesky:
         from .dist_chol import distributed_loglike_fn
 
+        if mesh is not None:
+            step = mesh.shape[data_axis] * block_size
+            n_total = -(-n_real // step) * step
+            if n_total != n_real:
+                pad = n_total - n_real
+                x_host = np.concatenate(
+                    [x_host, np.repeat(x_host[-1:], pad, axis=0)]
+                )
+                y_host = np.concatenate([y_host, np.zeros(pad)])
+                yerr2 = np.concatenate([yerr2, np.ones(pad)])
+
         dist_ll = distributed_loglike_fn(
             kernel_value, mean_fn, wn_fn, n_total,
-            axis_name=data_axis, block_size=block_size,
+            axis_name=data_axis, block_size=block_size, n_real=n_real,
         )
 
         def factory(x_local, y_local, yerr2_local):

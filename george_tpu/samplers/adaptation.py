@@ -101,6 +101,28 @@ def welford_update_batch(state, zs, axis_name=None):
     return WelfordState(n, mean, m2)
 
 
+def welford_merge_across(state, axis_name):
+    """Exact merge of per-device Welford states over a mesh axis.
+
+    Welford merging is associative, so accumulating locally and merging
+    only when the variance is *read* (window boundaries) is mathematically
+    identical to psum-ing the batch moments every step — at 1/window_len
+    the collective count.  Merged via the sufficient statistics
+    (n, sum z, sum zz^T):  m2_g = sum_d (m2_d + n_d mean_d mean_d^T)
+    - n_g mean_g mean_g^T.
+    """
+    n = jax.lax.psum(state.count, axis_name)
+    s1 = jax.lax.psum(state.count * state.mean, axis_name)
+    mean = s1 / jnp.maximum(n, 1.0)
+    if state.m2.ndim == 2:
+        raw = state.m2 + state.count * jnp.outer(state.mean, state.mean)
+        m2 = jax.lax.psum(raw, axis_name) - n * jnp.outer(mean, mean)
+    else:
+        raw = state.m2 + state.count * state.mean ** 2
+        m2 = jax.lax.psum(raw, axis_name) - n * mean ** 2
+    return WelfordState(n, mean, m2)
+
+
 def welford_variance(state, regularize=True):
     """The (regularized, as in Stan) variance / covariance estimate."""
     n = jnp.maximum(state.count, 2.0)

@@ -40,11 +40,35 @@ class MCMCResult(NamedTuple):
     inv_mass: jnp.ndarray       # (dim,) or (dim, dim)
 
 
-def _cross_mean(x, axis_name):
-    m = jnp.mean(x)
-    if axis_name is not None:
-        m = jax.lax.pmean(m, axis_name)
-    return m
+def _pmean_tree(tree, axis_name):
+    return jax.tree_util.tree_map(
+        lambda v: jax.lax.pmean(v, axis_name), tree
+    )
+
+
+def _sync_da(da, sync, axis_name):
+    """Pool the dual-averaging state across devices at sync points.
+
+    Every DA field is affine in the per-step accept statistics with
+    device-identical coefficients, so pooling the *state* at any cadence
+    lands on exactly the trajectory the old pool-every-step scheme produced
+    at those points; between syncs each device runs on its local accept
+    mean.  ``sync_every=1`` therefore reproduces the old math step for
+    step.
+    """
+    if axis_name is None:
+        return da
+    from .._vma import _pvary_axis
+
+    def pooled(d):
+        # Re-type the pooled (numerically device-identical) state as
+        # varying so both cond branches carry the same vma type.
+        return jax.tree_util.tree_map(
+            lambda v: _pvary_axis(jax.lax.pmean(v, axis_name), axis_name),
+            d,
+        )
+
+    return jax.lax.cond(sync, pooled, lambda d: d, da)
 
 
 class _Pieces(NamedTuple):
@@ -60,17 +84,33 @@ class _Pieces(NamedTuple):
 
 def _mass_window_update(da, welford, inv_mass, states, in_win, win_end,
                         dim, dense_mass, dtype, axis_name):
-    """Stan's windowed Welford mass adaptation + per-window DA reset."""
-    updated = adapt.welford_update_batch(
-        welford, states.z, axis_name=axis_name
-    )
+    """Stan's windowed Welford mass adaptation + per-window DA reset.
+
+    Cross-device pooling happens only when the variance is read (window
+    boundaries): Welford accumulates device-locally and the exact merge
+    (:func:`adaptation.welford_merge_across`) runs under ``lax.cond`` on
+    the replicated ``win_end`` flag — identical mass estimates to the old
+    psum-every-step scheme with O(1/window) the collectives.
+    """
+    updated = adapt.welford_update_batch(welford, states.z, axis_name=None)
     welford = jax.tree_util.tree_map(
         lambda new, old: jnp.where(in_win, new, old), updated, welford,
     )
-    new_mass = adapt.welford_variance(welford)
-    inv_mass = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(win_end, new, old), new_mass, inv_mass,
-    )
+    if axis_name is None:
+        new_mass = adapt.welford_variance(welford)
+        inv_mass = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(win_end, new, old), new_mass,
+            inv_mass,
+        )
+    else:
+        inv_mass = jax.lax.cond(
+            win_end,
+            lambda w: adapt.welford_variance(
+                adapt.welford_merge_across(w, axis_name)
+            ),
+            lambda w: inv_mass,
+            welford,
+        )
     # Reset the accumulator and re-center the step size search at each
     # window boundary (Stan's scheme).
     welford = jax.tree_util.tree_map(
@@ -109,7 +149,7 @@ def _fuse_batched_vg(scalar_vg, batched_vg):
 
 def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
                   algorithm, target_accept, max_depth, num_leapfrog,
-                  dense_mass, axis_name, adapt_mass):
+                  dense_mass, axis_name, adapt_mass, sync_every=8):
     vg = jax.value_and_grad(log_prob)
     batched_vg = getattr(log_prob, "batched_value_and_grad", None)
 
@@ -117,7 +157,7 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
         return _build_chees_pieces(
             vg, num_chains, dim, dtype, num_warmup, target_accept,
             num_leapfrog, dense_mass, axis_name, adapt_mass,
-            batched_vg=batched_vg,
+            batched_vg=batched_vg, sync_every=sync_every,
         )
 
     if batched_vg is not None:
@@ -151,16 +191,21 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
 
     def warm_step(carry, inputs):
         states, da, welford, inv_mass, extra, key = carry
-        in_win, win_end, _ = inputs
+        in_win, win_end, idx = inputs
         key, sub = jax.random.split(key)
         step_keys = jax.random.split(sub, num_chains)
         eps = jnp.exp(da.log_step)
         states, info = v_kernel(step_keys, states, eps, inv_mass)
 
         da = adapt.da_update(
-            da, _cross_mean(info.accept_prob, axis_name),
-            target=target_accept,
+            da, jnp.mean(info.accept_prob), target=target_accept,
         )
+        # Periodic cross-device pooling of the (affine) DA state; forced at
+        # window boundaries and on the last warmup step so the sampling
+        # step size is device-identical.
+        sync = ((idx + 1) % sync_every == 0) | win_end \
+            | (idx == num_warmup - 1)
+        da = _sync_da(da, sync, axis_name)
 
         if adapt_mass:
             da, welford, inv_mass = _mass_window_update(
@@ -185,7 +230,7 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
 
 def _build_chees_pieces(vg, num_chains, dim, dtype, num_warmup,
                         target_accept, max_leapfrog, dense_mass, axis_name,
-                        adapt_mass, batched_vg=None):
+                        adapt_mass, batched_vg=None, sync_every=8):
     """ChEES-HMC: one shared jittered trajectory for the whole batch.
 
     The kernel is batch-level (cross-chain means feed the trajectory
@@ -220,9 +265,11 @@ def _build_chees_pieces(vg, num_chains, dim, dtype, num_warmup,
             batched_value_and_grad=batched_vg,
         )
         da = adapt.da_update(
-            da, _cross_mean(info.accept_prob, axis_name),
-            target=target_accept,
+            da, jnp.mean(info.accept_prob), target=target_accept,
         )
+        sync = ((idx + 1) % sync_every == 0) | win_end \
+            | (idx == num_warmup - 1)
+        da = _sync_da(da, sync, axis_name)
         traj = chees.traj_update(
             traj, info.grad_log_t, jnp.exp(da.log_step), max_leapfrog
         )
@@ -258,7 +305,8 @@ def _build_chees_pieces(vg, num_chains, dim, dtype, num_warmup,
 def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
                    num_samples=500, algorithm="nuts", target_accept=None,
                    max_depth=10, num_leapfrog=32, dense_mass=False,
-                   step_size=None, axis_name=None, adapt_mass=True):
+                   step_size=None, axis_name=None, adapt_mass=True,
+                   sync_every=8):
     """Build the traceable single-program ``core(z0, key)``.
 
     Wrap in ``jit`` (as :func:`run_mcmc` does) or in ``shard_map`` over a
@@ -269,7 +317,7 @@ def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
     pieces = _build_pieces(
         log_prob, num_chains, dim, dtype, num_warmup, algorithm,
         target_accept, max_depth, num_leapfrog, dense_mass, axis_name,
-        adapt_mass,
+        adapt_mass, sync_every=sync_every,
     )
     in_window = jnp.asarray(pieces.schedule[0])
     window_end = jnp.asarray(pieces.schedule[1])
@@ -290,6 +338,15 @@ def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
         da = adapt.da_init(eps0)
         welford = adapt.welford_init(dim, dense=dense_mass, dtype=dtype)
         extra = pieces.extra_init(eps0)
+        if axis_name is not None:
+            # Between sync points the DA/Welford/trajectory states evolve
+            # from device-local statistics, so the scan carry must be
+            # vma-typed varying from the start.
+            from .._vma import pvary_like
+
+            da = pvary_like(da, states)
+            welford = pvary_like(welford, states)
+            extra = pvary_like(extra, states)
         carry = (states, da, welford, init_inv_mass, extra, key_warm)
         if num_warmup > 0:
             idx = jnp.arange(num_warmup, dtype=jnp.int32)
@@ -298,6 +355,13 @@ def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
             )
         states, da, _, inv_mass, extra, _ = carry
         eps = jnp.exp(da.log_step_avg) if num_warmup > 0 else eps0
+        if axis_name is not None and num_warmup > 0:
+            # One final pooling (numerically a no-op: the last warmup step
+            # forced a DA sync) makes the sampling-phase step size and any
+            # algorithm state device-invariant for the draw scan and the
+            # replicated out_specs.
+            eps = jax.lax.pmean(eps, axis_name)
+            extra = _pmean_tree(extra, axis_name)
 
         def draw(carry, _):
             return pieces.draw_step(carry, _, eps, inv_mass, extra)

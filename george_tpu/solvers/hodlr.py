@@ -79,8 +79,33 @@ class HODLRSolver(BasicSolver):
             min_size=self.min_size, tol=self.tol, seed=self.seed,
             max_rank=self.max_rank,
         )
+        self._x_sorted = x
         self.log_determinant = self._fact.log_determinant
         self.computed = True
+
+    def grad_core(self, node, theta, wn_vec, r, yerr2):
+        """Factorization-aware gradient of -0.5 (logdet + r^T K^-1 r).
+
+        Reverse mode through the level sweeps (ops/hodlr_core.py) — never
+        materializes N x N, unlike the reference's dense ``get_inverse``
+        gradient path (gp.py:436).  Inputs/outputs in user order; the
+        internal sort permutation is applied and undone here.
+        """
+        import numpy as np
+
+        perm, inv = self._perm, getattr(self, "_inv_perm", None)
+        if perm is not None:
+            wn_vec, r, yerr2 = wn_vec[perm], r[perm], yerr2[perm]
+        g_theta, g_wn, alpha = hodlr_core.hodlr_grad_core(
+            node, self._fact, theta, wn_vec, self._x_sorted, r, yerr2,
+            self.tol,
+        )
+        g_theta = np.asarray(g_theta)
+        g_wn = np.asarray(g_wn)
+        alpha = np.asarray(alpha)
+        if perm is not None:
+            g_wn, alpha = g_wn[inv], alpha[inv]
+        return g_theta, g_wn, alpha
 
     def apply_inverse(self, y, in_place=False):
         z = np.asarray(y)

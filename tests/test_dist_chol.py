@@ -135,3 +135,46 @@ def test_distributed_loglike_gradient():
     g = jax.jit(fn)(jnp.asarray(theta0), *[jnp.asarray(d) for d in data])
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_factory_auto_padding():
+    """The data-sharded factory pads internally to a P*block multiple and
+    the padded rows contribute nothing: log-likelihood matches the plain
+    GP on the unpadded dataset."""
+    import george_tpu as george
+    from george_tpu import kernels
+    from george_tpu.parallel import chain_mesh
+    from george_tpu.parallel.sharded import (
+        make_sharded_gp_log_prob_factory,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 300                          # pads to 8 * 32 * ceil = 512
+    x = np.sort(rng.uniform(0, 10, n))
+    yerr = 0.1 * np.ones(n)
+    y = np.sin(x) + yerr * rng.standard_normal(n)
+
+    gp = george.GP(1.0 * kernels.Matern32Kernel(1.0),
+                   white_noise=np.log(1e-3), fit_white_noise=True)
+    gp.compute(x, yerr)
+    theta = jnp.asarray(gp.get_parameter_vector())
+    ll_ref = gp.log_likelihood(y)
+
+    mesh = chain_mesh(8, axis="data")
+    factory, data = make_sharded_gp_log_prob_factory(
+        gp, x, y, yerr, distributed_cholesky=True, block_size=32,
+        mesh=mesh,
+    )
+    assert data[0].shape[0] == 512   # padded global arrays
+
+    def run(x_l, y_l, v_l):
+        return factory(x_l, y_l, v_l)(theta)
+
+    fn = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=True,
+    )
+    ll = float(jax.jit(fn)(*[jnp.asarray(d) for d in data]))
+    np.testing.assert_allclose(ll, ll_ref, rtol=1e-8)

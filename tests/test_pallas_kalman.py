@@ -172,3 +172,34 @@ def test_large_epoch_dt_precision(pallas_kalman_always):
                        rtol=1e-4, atol=5e-2)
     assert np.allclose(np.asarray(g), np.asarray(g_ref),
                        rtol=1e-3, atol=5e-2)
+
+
+def test_streaming_kernel_matches_scan(pallas_kalman_always, monkeypatch):
+    # Force the HBM-streaming path with a tiny SMEM window so the chunked
+    # DMA pipeline (prologue, double buffering, ragged last chunk) is
+    # exercised in interpret mode.
+    from george_tpu.ops import pallas_kalman as pk
+
+    monkeypatch.setattr(pk, "_SMEM_N", 40)
+    monkeypatch.setattr(pk, "_STREAM_CHUNK", 32)
+
+    rng = np.random.default_rng(7)
+    n = 150                      # 149 steps -> 5 chunks, last one ragged
+    x = np.sort(rng.uniform(0, 30, n))
+    yerr = 0.1 * np.ones(n)
+    y = np.sin(x) + yerr * rng.standard_normal(n)
+    gp = george.GP(1.0 * kernels.Matern32Kernel(1.0),
+                   white_noise=np.log(1e-4), fit_white_noise=True)
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+    assert hasattr(log_prob, "batched_value_and_grad")
+
+    thetas = jnp.asarray(
+        np.asarray(theta0)[None, :]
+        + 0.2 * rng.standard_normal((5, len(theta0)))
+    )
+    lp_p, g_p = log_prob.batched_value_and_grad(thetas)
+    lp_s, g_s = jax.vmap(jax.value_and_grad(log_prob))(thetas)
+    assert np.allclose(np.asarray(lp_p), np.asarray(lp_s),
+                       rtol=1e-4, atol=1e-2)
+    assert np.allclose(np.asarray(g_p), np.asarray(g_s),
+                       rtol=1e-3, atol=1e-2)

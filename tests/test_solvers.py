@@ -103,17 +103,16 @@ def test_hodlr_multidim_with_sorting(N=600, seed=99, ndim=3):
 
     kernel = 1.0 * kernels.ExpSquaredKernel(2.0, ndim=ndim)
     # High-dimensional blocks barely compress (the reference documents the
-    # same limitation, docs/user/solvers.rst:41-44): the default rank cap
-    # saturates with a warning, and max_rank= buys the accuracy back.
+    # same limitation, docs/user/solvers.rst:41-44): the static rank cap
+    # saturates, and the automatic escalation (doubling the caps and
+    # refactorizing, ops/hodlr_core.py) buys the accuracy back without a
+    # hand-tuned max_rank.
     import warnings as _warnings
     with _warnings.catch_warnings(record=True) as caught:
         _warnings.simplefilter("always")
         solver = HODLRSolver(kernel, tol=1e-10, min_size=64)
         solver.compute(x, yerr)
-    assert any("rank cap" in str(w.message) for w in caught)
-
-    solver = HODLRSolver(kernel, tol=1e-10, min_size=64, max_rank=180)
-    solver.compute(x, yerr)
+    assert not any("rank cap" in str(w.message) for w in caught)
     K = kernel.get_value(x)
     K[np.diag_indices_from(K)] += yerr ** 2
     _, lndet = np.linalg.slogdet(K)

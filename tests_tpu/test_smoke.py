@@ -1,0 +1,168 @@
+# -*- coding: utf-8 -*-
+"""TPU smoke suite: Mosaic-compiled kernels vs their XLA/CPU oracles.
+
+Each test prints the measured f32 delta (the accuracy ledger VERDICT asked
+for) and asserts it at f32-appropriate tolerances.  Mosaic compilation can
+diverge from the interpreter the CPU suite uses, so this is the only place
+the *compiled* kernels are correctness-checked.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import george_tpu as george
+from george_tpu import config, kernels
+from george_tpu.samplers import build_gp_log_prob
+
+
+def _report(name, delta):
+    print("\n[tpu-smoke] {0}: f32 delta = {1:.3g}".format(name, delta))
+
+
+def test_anchor_log_likelihood_on_chip():
+    # The published reference anchor (scaling.rst:62-76) evaluated in f32
+    # on the chip; the CPU x64 suite pins it to 1e-6.
+    np.random.seed(1234)
+    x = np.sort(np.random.uniform(0, 10, 50000))
+    yerr = 0.1 * np.ones_like(x)
+    y = np.sin(x)
+    kernel = np.var(y) * kernels.ExpSquaredKernel(1.0)
+    gp = george.GP(kernel)
+    gp.compute(x[:100], yerr[:100])
+    ll = gp.log_likelihood(y[:100])
+    delta = abs(ll - 133.946394912)
+    _report("anchor N=100 log-likelihood", delta)
+    assert delta < 5e-3
+
+
+def test_pallas_covariance_matches_xla():
+    # The blocked Pallas covariance builder vs the fused XLA build.
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 10, 2048))
+    k = 1.2 * kernels.Matern32Kernel(0.7)
+    node = k.spec_node()
+    from george_tpu.dsl import compiler
+
+    theta = jnp.asarray(
+        k.get_parameter_vector(include_frozen=True), jnp.float32
+    )
+    X = jnp.asarray(x[:, None], jnp.float32)
+
+    old = config.pallas_covariance
+    try:
+        config.pallas_covariance = "never"
+        K_xla = np.asarray(compiler._value_builder(node)(theta, X, X))
+        config.pallas_covariance = "always"
+        K_pal = np.asarray(compiler._value_builder(node)(theta, X, X))
+    finally:
+        config.pallas_covariance = old
+    delta = float(np.max(np.abs(K_xla - K_pal)))
+    _report("pallas covariance vs XLA", delta)
+    assert delta < 1e-5
+
+
+def test_fused_kalman_vg_matches_scan():
+    rng = np.random.default_rng(1)
+    n = 500
+    x = np.sort(rng.uniform(0, 50, n))
+    yerr = 0.1 * np.ones(n)
+    y = np.sin(x) + yerr * rng.standard_normal(n)
+    gp = george.GP(1.0 * kernels.Matern32Kernel(1.0),
+                   white_noise=np.log(1e-4), fit_white_noise=True)
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+    assert hasattr(log_prob, "batched_value_and_grad")
+    thetas = jnp.asarray(
+        np.asarray(theta0)[None, :]
+        + 0.2 * rng.standard_normal((8, len(theta0))).astype(np.float32)
+    )
+    lp_p, g_p = jax.jit(log_prob.batched_value_and_grad)(thetas)
+    lp_s, g_s = jax.jit(jax.vmap(jax.value_and_grad(log_prob)))(thetas)
+    d_lp = float(np.max(np.abs(np.asarray(lp_p) - np.asarray(lp_s))))
+    d_g = float(np.max(np.abs(np.asarray(g_p) - np.asarray(g_s))))
+    _report("fused Kalman vg (lp)", d_lp)
+    _report("fused Kalman vg (grad)", d_g)
+    assert d_lp < 0.05 and d_g < 0.5
+
+
+def test_streaming_kalman_vg_matches_scan():
+    # Above the SMEM-resident cap: the HBM-streaming DMA pipeline.
+    rng = np.random.default_rng(2)
+    n = 40000
+    x = np.sort(rng.uniform(0, 2000, n))
+    yerr = 0.1 * np.ones(n)
+    y = np.sin(x) + yerr * rng.standard_normal(n)
+    gp = george.GP(1.0 * kernels.Matern32Kernel(1.0),
+                   white_noise=np.log(1e-4), fit_white_noise=True)
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr)
+    assert hasattr(log_prob, "batched_value_and_grad")
+    thetas = jnp.asarray(
+        np.asarray(theta0)[None, :]
+        + 0.1 * rng.standard_normal((4, len(theta0))).astype(np.float32)
+    )
+    lp_p, g_p = jax.jit(log_prob.batched_value_and_grad)(thetas)
+    lp_s, g_s = jax.jit(jax.vmap(jax.value_and_grad(log_prob)))(thetas)
+    scale = max(1.0, float(np.max(np.abs(np.asarray(lp_s)))))
+    d_lp = float(np.max(np.abs(np.asarray(lp_p) - np.asarray(lp_s)))) / scale
+    gscale = max(1.0, float(np.max(np.abs(np.asarray(g_s)))))
+    d_g = float(np.max(np.abs(np.asarray(g_p) - np.asarray(g_s)))) / gscale
+    _report("streaming Kalman vg (lp, rel)", d_lp)
+    _report("streaming Kalman vg (grad, rel)", d_g)
+    assert d_lp < 1e-4 and d_g < 1e-3
+
+
+def test_pallas_dense_vg_matches_xla():
+    # The fused batched dense kernel (config-#5 shape, smaller batch).
+    rng = np.random.default_rng(3)
+    N, d = 128, 3
+    x = rng.uniform(-3, 8, (N, d))
+    yerr = 0.22 * np.ones(N)
+    y = np.sin(x[:, 0]) + yerr * rng.standard_normal(N)
+    gp = george.GP(
+        1.0 * kernels.Matern32Kernel(metric=[1.0, 2.0], ndim=3,
+                                     axes=[0, 2]),
+        white_noise=np.log(1e-3), fit_white_noise=True,
+        mean=0.0, fit_mean=True,
+    )
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr, method="dense")
+    assert hasattr(log_prob, "batched_value_and_grad")
+    thetas = jnp.asarray(
+        np.asarray(theta0)[None, :]
+        + 0.2 * rng.standard_normal((256, len(theta0))).astype(np.float32)
+    )
+    lp_p, g_p = jax.jit(log_prob.batched_value_and_grad)(thetas)
+    config.pallas_dense = "never"
+    try:
+        log_prob2, _ = build_gp_log_prob(gp, x, y, yerr, method="dense")
+    finally:
+        config.pallas_dense = "auto"
+    lp_s, g_s = jax.jit(jax.vmap(jax.value_and_grad(log_prob2)))(thetas)
+    d_lp = float(np.max(np.abs(np.asarray(lp_p) - np.asarray(lp_s))))
+    gs = np.asarray(g_s)
+    d_g = float(np.max(np.abs(np.asarray(g_p) - gs))) \
+        / max(1.0, float(np.max(np.abs(gs))))
+    _report("pallas dense vg (lp)", d_lp)
+    _report("pallas dense vg (grad, rel)", d_g)
+    assert d_lp < 0.05 and d_g < 1e-3
+
+
+def test_blocked_cholesky_logdet_matches_native():
+    from george_tpu.ops import linalg
+
+    rng = np.random.default_rng(4)
+    n = 8192
+    x = np.sort(rng.uniform(0, 10, n)).astype(np.float32)
+    d = x[:, None] - x[None, :]
+    K = jnp.asarray(np.exp(-0.5 * d * d) + 0.05 * np.eye(n,
+                                                         dtype=np.float32))
+    ld_native = float(2.0 * jnp.sum(jnp.log(jnp.diagonal(
+        jnp.linalg.cholesky(K)
+    ))))
+    L = jax.jit(linalg.blocked_cholesky)(K)
+    ld_blocked = float(2.0 * jnp.sum(jnp.log(jnp.diagonal(L))))
+    delta = abs(ld_blocked - ld_native) / max(1.0, abs(ld_native))
+    _report("blocked cholesky logdet (rel)", delta)
+    assert np.isfinite(ld_blocked)
+    assert delta < 1e-4
