@@ -45,6 +45,13 @@ def _parse_model(model):
     return ConstantModel(value)
 
 
+def _deprecated(old, new):
+    warnings.warn(
+        "'{0}' is deprecated. Use '{1}'".format(old, new),
+        DeprecationWarning,
+    )
+
+
 class GP(ModelSet):
     """The basic Gaussian Process regression object.
 
@@ -85,22 +92,29 @@ class GP(ModelSet):
         if _is_scalar(white_noise):
             fit_white_noise = bool(fit_white_noise)
 
-        if not fit_kernel:
-            self.models["kernel"].freeze_all_parameters()
-        if mean is None or (fit_mean is not None and not fit_mean):
-            self.models["mean"].freeze_all_parameters()
-        if white_noise is None or (
-                fit_white_noise is not None and not fit_white_noise):
-            self.models["white_noise"].freeze_all_parameters()
+        # Freeze whatever the caller did not ask to fit; an absent model is
+        # always frozen regardless of the flag.
+        def off(flag):
+            return flag is not None and not flag
+
+        frozen = {
+            "kernel": not fit_kernel,
+            "mean": mean is None or off(fit_mean),
+            "white_noise": white_noise is None or off(fit_white_noise),
+        }
+        for name, freeze in frozen.items():
+            if freeze:
+                self.models[name].freeze_all_parameters()
 
         if solver is None:
-            trivial = (
-                kernel is None
-                or kernel.kernel_type == kernels.EmptyKernel.kernel_type
-            )
-            solver = TrivialSolver if trivial else BasicSolver
+            # An absent/empty kernel needs only the diagonal solver.
+            empty = kernels.EmptyKernel.kernel_type
+            if kernel is None or kernel.kernel_type == empty:
+                solver = TrivialSolver
+            else:
+                solver = BasicSolver
         self.solver_type = solver
-        self.solver_kwargs = kwargs
+        self.solver_kwargs = dict(kwargs)
         self.solver = None
 
     # -- component access -------------------------------------------------------
@@ -336,17 +350,11 @@ class GP(ModelSet):
         return grad
 
     def lnlikelihood(self, y, quiet=False):
-        warnings.warn(
-            "'lnlikelihood' is deprecated. Use 'log_likelihood'",
-            DeprecationWarning,
-        )
+        _deprecated("lnlikelihood", "log_likelihood")
         return self.log_likelihood(y, quiet=quiet)
 
     def grad_lnlikelihood(self, y, quiet=False):
-        warnings.warn(
-            "'grad_lnlikelihood' is deprecated. Use 'grad_log_likelihood'",
-            DeprecationWarning,
-        )
+        _deprecated("grad_lnlikelihood", "grad_log_likelihood")
         return self.grad_log_likelihood(y, quiet=quiet)
 
     def nll(self, vector, y, quiet=True):
@@ -390,26 +398,21 @@ class GP(ModelSet):
         of kernel mixtures).
         """
         self.recompute()
-        alpha = self._compute_alpha(y, cache)
         xs = self.parse_samples(t)
+        cross = self.kernel if kernel is None else kernel
 
-        if kernel is None:
-            kernel = self.kernel
+        a = self._compute_alpha(y, cache)
+        Ks = cross.get_value(xs, self._x)            # (M, N) cross-cov
+        mean_pred = Ks @ a + self._call_mean(xs)
+        if not (return_cov or return_var):
+            return mean_pred
 
-        Kxs = kernel.get_value(xs, self._x)
-        mu = np.dot(Kxs, alpha) + self._call_mean(xs)
-        if not (return_var or return_cov):
-            return mu
-
-        KinvKxs = self.solver.apply_inverse(Kxs.T)
+        # One multi-RHS solve W = K^{-1} Ks^T serves both output forms.
+        W = self.solver.apply_inverse(Ks.T)
         if return_var:
-            var = kernel.get_value(xs, diag=True)
-            var -= np.sum(Kxs.T * KinvKxs, axis=0)
-            return mu, var
-
-        cov = kernel.get_value(xs)
-        cov -= np.dot(Kxs, KinvKxs)
-        return mu, cov
+            diag_prior = cross.get_value(xs, diag=True)
+            return mean_pred, diag_prior - np.einsum("ij,ji->i", Ks, W)
+        return mean_pred, cross.get_value(xs) - Ks @ W
 
     def predictor(self, y):
         """Build a fast repeated-prediction closure for fixed training data.
@@ -457,26 +460,25 @@ class GP(ModelSet):
     def sample(self, t=None, size=1):
         """Draw samples from the GP prior."""
         if t is None:
+            # Ride the computed factorization: draws = mean + z sqrt(K).
             self.recompute()
-            n = self._x.shape[0]
-            results = self.solver.apply_sqrt(np.random.randn(size, n))
-            results += self._call_mean(self._x)
-            return results[0] if size == 1 else results
+            z = np.random.randn(size, self._x.shape[0])
+            draws = self.solver.apply_sqrt(z) + self._call_mean(self._x)
+            return draws[0] if size == 1 else draws
 
-        x = self.parse_samples(t)
-        cov = self.get_matrix(x)
-        cov[np.diag_indices_from(cov)] += TINY
+        xs = self.parse_samples(t)
+        cov = self.get_matrix(xs)
+        cov.flat[:: len(cov) + 1] += TINY      # jitter the diagonal
         return multivariate_gaussian_samples(
-            cov, size, mean=self._call_mean(x)
+            cov, size, mean=self._call_mean(xs)
         )
 
     def get_matrix(self, x1, x2=None):
         """The bare covariance matrix at coordinates x1 (x cross x2)."""
-        x1 = self.parse_samples(x1)
-        if x2 is None:
-            return self.kernel.get_value(x1)
-        x2 = self.parse_samples(x2)
-        return self.kernel.get_value(x1, x2)
+        a = self.parse_samples(x1)
+        if x2 is not None:
+            return self.kernel.get_value(a, self.parse_samples(x2))
+        return self.kernel.get_value(a)
 
     # -- modeling-protocol synonyms ----------------------------------------------------------
 

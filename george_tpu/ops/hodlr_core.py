@@ -339,25 +339,36 @@ def hodlr_compute(node, theta, x, diag_noise, min_size=100, tol=0.1,
     # block's rank until the tolerance is met (hodlr.h:136-221); the
     # batched lockstep formulation uses static ranks, so saturation retries
     # the factorization with doubled caps instead of silently degrading.
+    # An explicit ``max_rank`` is a HARD cap (the user bounded memory /
+    # compile size): never escalate past it, only warn.
     for _attempt in range(4):
         ranks = tuple(min(full[q], caps[q]) for q in range(levels))
         leaf_chol, U0s, V0s, Uts, Vts, S_lus, stats = _compute_all_fn(
             node, levels, leaf_size, ranks
         )(theta, x_pad, diag_pad, valid, jnp.asarray(tol, x.dtype))
         stats = np.asarray(stats)  # the single host<->device sync
-        if stats[1] == 0.0 or ranks == full:
+        if stats[1] == 0.0 or ranks == full or max_rank:
             break
         caps = [c * 2 for c in caps]
 
     logdet = float(stats[0])
     if stats[1] != 0.0:
         import warnings
-        warnings.warn(
-            "HODLR off-diagonal blocks did not reach tol={0} within rank "
-            "caps {1} (after automatic escalation); results are "
-            "approximate.  Loosen tol or sort the inputs "
-            "(nd_sort_samples) for better compression.".format(tol, ranks)
-        )
+        if max_rank:
+            warnings.warn(
+                "HODLR off-diagonal blocks did not reach tol={0} within "
+                "the explicit max_rank={1}; results are approximate.  "
+                "Raise max_rank (or loosen tol) for a tighter "
+                "factorization.".format(tol, max_rank)
+            )
+        else:
+            warnings.warn(
+                "HODLR off-diagonal blocks did not reach tol={0} within "
+                "rank caps {1} (after automatic escalation); results are "
+                "approximate.  Loosen tol or sort the inputs "
+                "(nd_sort_samples) for better compression.".format(
+                    tol, ranks)
+            )
     if not np.isfinite(logdet):
         from scipy.linalg import LinAlgError
         raise LinAlgError("HODLR factorization failed (not PD?)")

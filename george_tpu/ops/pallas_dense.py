@@ -12,9 +12,9 @@ Pallas program, with the chain batch laid out on the 128 vector lanes so
 every step of the factorization is a full-width VPU op:
 
   * covariance build: the kernel expression tree is evaluated on
-    (rows, N, 128) tiles — per-axis squared differences are shared across
-    chains (computed as (R, N, 1) arrays whose replicated lane dim
-    broadcasts against the per-chain (1, 1, B) parameters for free);
+    (rows, N, 128) tiles from lane-replicated coordinate boards
+    (XR[a, n, b] = x[n, a] for every lane b), so the whole build is
+    full-width VPU work with sublane-only broadcasts;
   * in-place blocked right-looking Cholesky on an (N, N, 128) VMEM
     resident buffer (8-column panels, unrolled; trailing updates looped,
     expressed as sublane reductions so no cross-layout shuffles occur);
@@ -33,9 +33,10 @@ every step of the factorization is a full-width VPU op:
 Layout rules this kernel lives by (learned from Mosaic): values only take
 static slices (dynamic indexing goes through refs with ``pl.ds``); getitems
 never mix a real index with ``None``; bool vectors never gain a trailing
-unit dim; shared 2-D quantities are built with the lane dim already
-trailing-and-replicated instead of being minor-dim-expanded later (the
-relayout costs more than the whole factorization).
+unit dim; NOTHING in the hot path may carry a 1-wide lane dim — shared
+coordinates, observations, and noise enter as lane-replicated boards and
+all masks are built as full-width iotas (a single (R, N, 1)-shaped operand
+forces a lane-broadcast relayout that costs more than the factorization).
 
 Semantics match ``samplers.logprob.build_gp_log_prob(method="dense")``:
 ``ll = -0.5 (N log 2pi + logdet + r^T K^-1 r)`` with
@@ -98,44 +99,56 @@ def _round_up(n, m):
 
 # ---------------------------------------------------------------------------
 # Batched kernel-tree evaluation on (R, N, B) tiles.
+#
+# Coordinates enter as lane-REPLICATED boards ``XR (d, N, B)`` with
+# ``XR[a, n, b] = x[n, a]`` for every lane b.  Row tiles slice to (R, 1, B)
+# and column tiles reshape to (1, N, B), so every subtraction, mask, and
+# radial op below broadcasts along sublanes only and runs at full VPU
+# width.  (The previous (R, N, 1) shared-tile design left the lane dim
+# 1-wide, and the lane-broadcast relayout into the (R, N, B) chain layout
+# dominated the whole kernel: 102 of 103 ms at 4096 chains x N=128.)
 # ---------------------------------------------------------------------------
 
-def _col(X, a):
-    """Column ``a`` as (rows, 1) — keeps the lane dim replicated."""
-    return X[:, a:a + 1]
+def _row_tile(XR, a, i0, rows):
+    """(rows, 1, B) tile of coordinate axis ``a`` for rows [i0, i0+rows)."""
+    return XR[a][i0:i0 + rows][:, None, :]
 
 
-def _block_mask_f32(node, X1, X2):
-    """Block-window mask as an f32 (R, N, 1) multiplier."""
-    def mask(X):
-        m = None
-        for axis, lo, hi in zip(node.axes, node.min_block, node.max_block):
-            col = _col(X, axis)
-            mi = (col >= lo) & (col <= hi)
-            m = mi if m is None else (m & mi)
-        return m                                         # (rows, 1) bool
+def _col_tile(XR, a):
+    """(1, N, B) tile of coordinate axis ``a`` (all columns)."""
+    return XR[a][None, :, :]
 
-    m1, m2 = mask(X1), mask(X2)
-    return (m1[:, None, :] & m2[None, :, :]).astype(jnp.float32)
+
+def _block_mask_f32(node, XR, i0, rows):
+    """Block-window mask as an f32 (rows, N, B) multiplier."""
+    m1 = m2 = None
+    for axis, lo, hi in zip(node.axes, node.min_block, node.max_block):
+        r = _row_tile(XR, axis, i0, rows)
+        c = _col_tile(XR, axis)
+        mr = (r >= lo) & (r <= hi)
+        mc = (c >= lo) & (c <= hi)
+        m1 = mr if m1 is None else (m1 & mr)
+        m2 = mc if m2 is None else (m2 & mc)
+    return (m1 & m2).astype(jnp.float32)
 
 
 def _batched_builder(node):
-    """``f(theta (P, B), X1 (R, d), X2 (N, d)) -> (R, N, B)``.
+    """``f(theta (P, B), XR (d, N, B), i0) -> (R, N, B)`` row-tile builder.
 
-    The chain batch rides the trailing axis; coordinates are shared.  Same
-    leaf semantics as :func:`compiler._value_builder` (per-axis sums for
-    non-stationary kernels, metric-scaled r2 for stationary ones, block
-    windows) restricted to metric types 0/1.
+    The chain batch rides the trailing axis; coordinates are shared across
+    lanes.  Same leaf semantics as :func:`compiler._value_builder` (per-axis
+    sums for non-stationary kernels, metric-scaled r2 for stationary ones,
+    block windows) restricted to metric types 0/1.
     """
     if isinstance(node, Op):
         f1 = _batched_builder(node.k1)
         f2 = _batched_builder(node.k2)
         n1 = compiler.node_size(node.k1)
         if node.op == "sum":
-            return lambda th, X1, X2: (
-                f1(th[:n1], X1, X2) + f2(th[n1:], X1, X2)
+            return lambda th, XR, i0: (
+                f1(th[:n1], XR, i0) + f2(th[n1:], XR, i0)
             )
-        return lambda th, X1, X2: f1(th[:n1], X1, X2) * f2(th[n1:], X1, X2)
+        return lambda th, XR, i0: f1(th[:n1], XR, i0) * f2(th[n1:], XR, i0)
 
     axes = list(node.axes)
 
@@ -143,16 +156,14 @@ def _batched_builder(node):
         radial = compiler._radial_fn(node.name, node.constants)
         mtype = node.metric_type
 
-        def value(th, X1, X2):
+        def value(th, XR, i0):
             # Mosaic cannot type zero-sized vectors: kernels without radial
             # parameters (Matern, ExpSquared, ...) get a dummy row whose
             # custom-jvp parameter tangent is identically zero.
             p = th[:node.nparams] if node.nparams else th[:1]
             mp = th[node.nparams:]
-            # Shared per-axis squared differences, built as (R, N, 1) so
-            # the broadcast against per-chain scales is layout-free.
             d2 = [
-                (_col(X1, a)[:, None, :] - _col(X2, a)[None, :, :]) ** 2
+                (_row_tile(XR, a, i0, _T) - _col_tile(XR, a)) ** 2
                 for a in axes
             ]
             if mtype == 0:
@@ -164,24 +175,24 @@ def _batched_builder(node):
                 )
             K = radial(p, r2)
             if node.blocked:
-                K = K * _block_mask_f32(node, X1, X2)
+                K = K * _block_mask_f32(node, XR, i0, _T)
             return K
 
         return value
 
     pair = compiler._pair_fn(node.name, node.constants)
 
-    def value(th, X1, X2):
+    def value(th, XR, i0):
         total = 0.0
         for a in axes:
             total = total + pair(
-                th, _col(X1, a)[:, None, :], _col(X2, a)[None, :, :]
+                th, _row_tile(XR, a, i0, _T), _col_tile(XR, a)
             )
         out = jnp.broadcast_to(
-            total, (X1.shape[0], X2.shape[0], th.shape[1])
+            total, (_T, XR.shape[1], th.shape[1])
         )
         if node.blocked:
-            out = out * _block_mask_f32(node, X1, X2)
+            out = out * _block_mask_f32(node, XR, i0, _T)
         return out
 
     return value
@@ -360,37 +371,46 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
     n_scalar = n_mean + n_wn
     n_act = len(active)
 
-    def kernel(th_ref, x_ref, y_ref, v_ref, ll_ref, g_ref, M, Z, Dref):
+    def kernel(th_ref, xr_ref, y_ref, v_ref, ll_ref, g_ref, M, Z, Dref):
         th = th_ref[...]                                  # (P, B)
-        X = x_ref[...]                                    # (n_pad, d)
-        y = y_ref[...]                                    # (n_pad, 1)
-        v = v_ref[...]                                    # (n_pad, 1)
-        # Padding-row mask, built in-kernel (captured host constants are
-        # rejected by pallas_call).
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-        vmask = (ridx < n_real).astype(jnp.float32)       # (n_pad, 1)
+        XR = xr_ref[...]                                  # (d, n_pad, B)
+        y = y_ref[...]                                    # (n_pad, B)
+        v = v_ref[...]                                    # (n_pad, B)
 
         mean = th[0] if n_mean else None
         wn = th[n_mean] if n_wn else None
         th_k = th[n_scalar:]
 
         r = y - (mean[None, :] if n_mean else 0.0)
-        r = r * vmask
+        if n_pad != n_real:
+            # Padding-row mask, built in-kernel (captured host constants
+            # are rejected by pallas_call).  Full-width: lanes replicated.
+            ridx = jax.lax.broadcasted_iota(
+                jnp.int32, (n_pad, _LANES), 0
+            )
+            r = r * (ridx < n_real).astype(jnp.float32)
         r = jnp.broadcast_to(r, (n_pad, _LANES))
 
         def build_rows(ib, th_k_, wn_):
             """Covariance rows [8*ib, 8*ib+8) incl. noise + padding."""
             i0 = ib * _T
-            Kb = build(th_k_, X[i0:i0 + _T], X)           # (8, n_pad, B)
-            noise = v[i0:i0 + _T][:, :, None] + (
+            Kb = build(th_k_, XR, i0)                     # (8, n_pad, B)
+            noise = v[i0:i0 + _T][:, None, :] + (
                 jnp.exp(wn_).reshape(1, 1, -1) if n_wn else 0.0
-            )                                             # (8, 1, B|1)
+            )                                             # (8, 1, B)
+            # All masks are built at full lane width so no vreg needs a
+            # lane-broadcast relayout (Mosaic charges ~the whole build for
+            # (R, N, 1)-shaped operands).
             rr = i0 + jax.lax.broadcasted_iota(
-                jnp.int32, (_T, n_pad, 1), 0
+                jnp.int32, (_T, n_pad, _LANES), 0
             )
-            cc = jax.lax.broadcasted_iota(jnp.int32, (_T, n_pad, 1), 1)
-            dmask = (rr == cc).astype(jnp.float32)        # (8, n_pad, 1)
+            cc = jax.lax.broadcasted_iota(
+                jnp.int32, (_T, n_pad, _LANES), 1
+            )
+            dmask = (rr == cc).astype(jnp.float32)        # (8, n_pad, B)
             Kb = Kb + dmask * noise
+            if n_pad == n_real:
+                return Kb
             # f32 blend, not where-on-bool: Mosaic cannot reshape i1
             # vectors to a trailing unit dim.  Padded rows/cols become the
             # identity, so their pivots are 1 and logdet/alpha are clean.
@@ -530,17 +550,23 @@ def make_dense_batched_vg(node, x, y, yerr2, n_mean, n_wn, active,
             "pallas dense kernel supports N <= {0}".format(MAX_N)
         )
 
-    x_dev = jnp.asarray(
-        np.concatenate([x, np.zeros((n_pad - n_real, x.shape[1]),
-                                    np.float32)], axis=0)
+    # Lane-replicated boards: coordinates/observations repeated across the
+    # 128 chain lanes, so every in-kernel op on them is full VPU width.
+    x_pad = np.concatenate(
+        [x, np.zeros((n_pad - n_real, x.shape[1]), np.float32)], axis=0
     )
+    xr_dev = jnp.asarray(np.ascontiguousarray(np.broadcast_to(
+        x_pad.T[:, :, None], (x.shape[1], n_pad, _LANES)
+    )))
     pad1 = ((0, n_pad - n_real),)
-    y_dev = jnp.asarray(
-        np.pad(np.asarray(y, np.float32), pad1)[:, None]
-    )
-    v_dev = jnp.asarray(
-        np.pad(np.asarray(yerr2, np.float32), pad1)[:, None]
-    )
+    y_dev = jnp.asarray(np.ascontiguousarray(np.broadcast_to(
+        np.pad(np.asarray(y, np.float32), pad1)[:, None],
+        (n_pad, _LANES),
+    )))
+    v_dev = jnp.asarray(np.ascontiguousarray(np.broadcast_to(
+        np.pad(np.asarray(yerr2, np.float32), pad1)[:, None],
+        (n_pad, _LANES),
+    )))
 
     kernel, n_act = _kernel_builder(
         node, n_pad, n_real, int(n_mean), int(n_wn),
@@ -567,11 +593,12 @@ def make_dense_batched_vg(node, x, y, yerr2, n_mean, n_wn, active,
             in_specs=[
                 pl.BlockSpec((d_full, _LANES), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, x.shape[1]), lambda i: (0, 0),
+                pl.BlockSpec((x.shape[1], n_pad, _LANES),
+                             lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, 1), lambda i: (0, 0),
+                pl.BlockSpec((n_pad, _LANES), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, 1), lambda i: (0, 0),
+                pl.BlockSpec((n_pad, _LANES), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -591,7 +618,7 @@ def make_dense_batched_vg(node, x, y, yerr2, n_mean, n_wn, active,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(th, x_dev, y_dev, v_dev)
+        )(th, xr_dev, y_dev, v_dev)
 
         ll = ll[:, 0, :].reshape(b_pad)[:B]
         grad = jnp.moveaxis(grad, 1, 0).reshape(n_act, b_pad)[:, :B].T

@@ -70,8 +70,6 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
 
     node = gp.kernel.spec_node()
     kernel_value = compiler._value_builder(node)
-    mean_fn = traceable_model_fn(gp.mean, x_host)
-    wn_fn = traceable_model_fn(gp.white_noise, x_host)
 
     n_mean = gp.mean.full_size
     n_wn = gp.white_noise.full_size
@@ -83,7 +81,11 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
     norm_const = 0.5 * n_real * np.log(2.0 * np.pi)
 
     if distributed_cholesky == "auto":
-        distributed_cholesky = n_real >= DIST_CHOL_MIN_N
+        # Auto-enabling needs the mesh: without it the dataset cannot be
+        # padded to a P * block_size multiple, and the local factorization
+        # would reject non-divisible shards downstream.  No mesh -> stay on
+        # the replicated path (the pre-"auto" behavior).
+        distributed_cholesky = mesh is not None and n_real >= DIST_CHOL_MIN_N
 
     if distributed_cholesky:
         from .dist_chol import distributed_loglike_fn
@@ -98,6 +100,14 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
                 )
                 y_host = np.concatenate([y_host, np.zeros(pad)])
                 yerr2 = np.concatenate([yerr2, np.ones(pad)])
+
+        # Shape-polymorphic model fns only: the distributed likelihood
+        # evaluates the mean on the padded global x and the white noise on
+        # per-device shards, so fixed-length baked constants cannot work.
+        mean_fn = traceable_model_fn(gp.mean, x_host, allow_baked=False)
+        wn_fn = traceable_model_fn(
+            gp.white_noise, x_host, allow_baked=False
+        )
 
         dist_ll = distributed_loglike_fn(
             kernel_value, mean_fn, wn_fn, n_total,
@@ -119,6 +129,11 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
             return log_prob
 
         return factory, (x_host, y_host, yerr2)
+
+    # Replicated-factorization path: the model fns only ever see the
+    # all-gathered global x, so baked host constants are fine.
+    mean_fn = traceable_model_fn(gp.mean, x_host)
+    wn_fn = traceable_model_fn(gp.white_noise, x_host)
 
     def factory(x_local, y_local, yerr2_local):
         def log_prob(theta_active):

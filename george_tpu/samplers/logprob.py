@@ -22,7 +22,7 @@ from ..ops.linalg import cholesky_factor, cho_solve
 __all__ = ["build_gp_log_prob", "traceable_model_fn"]
 
 
-def traceable_model_fn(model, x_host):
+def traceable_model_fn(model, x_host, allow_baked=True):
     """Return ``f(params_full, x) -> values`` for a mean/white-noise model.
 
     Supported forms, in order of preference:
@@ -30,14 +30,17 @@ def traceable_model_fn(model, x_host):
         custom traceable models);
       * :class:`ConstantModel` — closed form;
       * any model with *no active parameters* — its host value at ``x_host``
-        is baked in as a constant;
+        is baked in as a fixed-length constant (``allow_baked=True`` only:
+        callers that evaluate the model on differently-shaped ``x`` — e.g.
+        per-device shards on the distributed-Cholesky path — must pass
+        ``allow_baked=False`` and get a shape-polymorphic form or an error);
       * :class:`CallableModel` whose function is JAX-traceable.
     """
     if hasattr(model, "jax_value"):
         return model.jax_value
     if isinstance(model, ConstantModel):
         return lambda params, x: params[0] + jnp.zeros(x.shape[0])
-    if model.vector_size == 0:
+    if allow_baked and model.vector_size == 0:
         const = jnp.asarray(
             np.broadcast_to(model.get_value(x_host), (len(x_host),))
         )
@@ -45,8 +48,13 @@ def traceable_model_fn(model, x_host):
     if isinstance(model, CallableModel):
         return lambda params, x: model.function(x)
     raise TypeError(
-        "model {0} has trainable parameters but is not JAX-traceable; "
-        "define a jax_value(params, x) method".format(type(model).__name__)
+        "model {0} is not JAX-traceable{1}; define a jax_value(params, x) "
+        "method".format(
+            type(model).__name__,
+            "" if allow_baked else
+            " (and baked host constants are not usable here: the model is "
+            "evaluated on per-device data shards)",
+        )
     )
 
 
@@ -156,10 +164,12 @@ def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None, method="auto"):
         lp = jnp.where(in_bounds, ll, -jnp.inf)
         if log_prior is not None:
             lp = lp + log_prior(theta_active)
-        # Cholesky failure (non-PD) surfaces as NaN: map to -inf so samplers
-        # treat it as a rejected/divergent proposal (the quiet=True contract,
-        # reference gp.py:385-397).
-        return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        # Cholesky failure (non-PD) surfaces as NaN — and an exactly-zero
+        # pivot as logdet=-inf hence ll=+inf: map both to -inf so samplers
+        # treat them as rejected/divergent proposals (the quiet=True
+        # contract, reference gp.py:385-397).  NaN < inf is False, so the
+        # comparison folds the NaN case in too.
+        return jnp.where(lp < jnp.inf, lp, -jnp.inf)
 
     _attach_pallas_dense_vg(
         log_prob, gp, node, x_host, y_host, yerr2, theta_full0, unfrozen,
@@ -213,7 +223,7 @@ def _build_state_space_log_prob(gp, node, x_host, y_host, yerr2, log_prior,
         lp = jnp.where(in_bounds, ll, -jnp.inf)
         if log_prior is not None:
             lp = lp + log_prior(theta_active)
-        return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        return jnp.where(lp < jnp.inf, lp, -jnp.inf)
 
     _attach_pallas_vg(
         log_prob, gp, node, t_host, y_sorted, yerr2_sorted, x_sorted,
@@ -299,7 +309,9 @@ def _finish_batched_vg(vg_core, theta_full0, unfrozen, lo, hi, log_prior):
         in_bounds = jnp.all(
             (theta >= lo_d) & (theta <= hi_d), axis=1
         )
-        ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
+        # NaN (failed factorization) AND +inf (exactly-zero pivot:
+        # logdet=-inf) both read as rejected proposals.
+        ll = jnp.where(ll < jnp.inf, ll, -jnp.inf)
         ok = in_bounds & jnp.isfinite(ll)
         lp = jnp.where(in_bounds, ll, -jnp.inf)
         g = jnp.where(ok[:, None], grad, 0.0)
@@ -312,7 +324,7 @@ def _finish_batched_vg(vg_core, theta_full0, unfrozen, lo, hi, log_prior):
             g = g + pg
         # Same final guard as the scalar log_prob: NaN (e.g. a NaN prior,
         # or -inf likelihood + +inf prior) reads as a rejected proposal.
-        lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        lp = jnp.where(lp < jnp.inf, lp, -jnp.inf)
         g = jnp.where(jnp.isnan(g), 0.0, g)
         return lp.astype(thetas_active.dtype), g.astype(
             thetas_active.dtype

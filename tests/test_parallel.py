@@ -137,3 +137,103 @@ def test_chain_sharded_chees_moments():
     s = summary(res.samples)
     assert np.all(np.abs(np.asarray(s["mean"]) - MU) < 0.06)
     assert np.all(np.asarray(s["rhat"]) < 1.05)
+
+
+def test_da_sync_every_step_matches_pooled_stream():
+    """``_sync_da`` at cadence 1 lands exactly on the pool-every-step DA
+    trajectory: every dual-averaging field is affine in the accept
+    statistic with device-identical coefficients, so pooling the *state*
+    each step equals feeding the pooled accept mean to one stream."""
+    from george_tpu.samplers import adaptation as adapt
+    from george_tpu.samplers.mcmc import _sync_da
+
+    mesh = chain_mesh()
+    steps, ndev = 25, 8
+    rng = np.random.default_rng(3)
+    accepts = jnp.asarray(rng.uniform(0.2, 1.0, (steps, ndev)))
+
+    def device_stream(acc):
+        from george_tpu._vma import pvary_like
+
+        def body(da, a):
+            da = adapt.da_update(da, a, target=0.8)
+            da = _sync_da(da, jnp.asarray(True), "chains")
+            return da, da.log_step
+
+        da0 = pvary_like(adapt.da_init(0.5), acc)
+        _, traj = jax.lax.scan(body, da0, acc[:, 0])
+        return traj[:, None]
+
+    sharded = jax.shard_map(
+        device_stream, mesh=mesh,
+        in_specs=(P(None, "chains"),), out_specs=P(None, "chains"),
+    )(accepts)
+
+    def body(da, a):
+        da = adapt.da_update(da, a, target=0.8)
+        return da, da.log_step
+
+    _, pooled = jax.lax.scan(
+        body, adapt.da_init(0.5), jnp.mean(accepts, axis=1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(pooled)[:, None] * np.ones(ndev),
+        rtol=1e-12,
+    )
+
+
+def test_welford_merge_across_is_exact():
+    """Device-local accumulation + one merge == one global Welford pass."""
+    from george_tpu.samplers import adaptation as adapt
+
+    mesh = chain_mesh()
+    rng = np.random.default_rng(11)
+    zs = jnp.asarray(rng.standard_normal((8, 16, 3)))
+
+    def device(z):
+        st = adapt.welford_init(3, dense=True)
+        st = adapt.welford_update_batch(st, z[0])
+        merged = adapt.welford_merge_across(st, "chains")
+        return merged.count[None], merged.mean[None], merged.m2[None]
+
+    count, mean, m2 = jax.shard_map(
+        device, mesh=mesh, in_specs=(P("chains"),),
+        out_specs=(P("chains"), P("chains"), P("chains")),
+    )(zs)
+
+    flat = np.asarray(zs).reshape(-1, 3)
+    gmean = flat.mean(axis=0)
+    gm2 = (flat - gmean).T @ (flat - gmean)
+    for d in range(8):
+        assert float(count[d]) == len(flat)
+        np.testing.assert_allclose(np.asarray(mean[d]), gmean, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(m2[d]), gm2, atol=1e-10)
+
+
+def test_pooled_adaptation_posterior_equivalence():
+    """Sharded chains with sync_every=8 pooling match an unsharded run of
+    the same size on posterior moments (within MC error)."""
+    from george_tpu.samplers import run_mcmc
+
+    mesh = chain_mesh()
+    key = jax.random.PRNGKey(42)
+    z0 = MU[None] + 0.5 * np.asarray(
+        jax.random.normal(key, (64, 2))
+    )
+    kw = dict(num_warmup=300, num_samples=400, algorithm="hmc")
+    res_sh = run_mcmc_sharded(
+        gaussian_log_prob, None, jnp.asarray(z0), key, mesh, **kw
+    )
+    res_un = run_mcmc(gaussian_log_prob, jnp.asarray(z0), key, **kw)
+
+    def moments(r):
+        flat = np.asarray(r.samples).reshape(-1, 2)
+        return flat.mean(axis=0), flat.var(axis=0)
+
+    m_sh, v_sh = moments(res_sh)
+    m_un, v_un = moments(res_un)
+    scale = np.sqrt(np.diag(np.linalg.inv(A_INV)))
+    assert np.all(np.abs(m_sh - m_un) < 0.12 * scale)
+    assert np.all(np.abs(v_sh / v_un - 1.0) < 0.25)
+    # Both recover the truth.
+    assert np.all(np.abs(m_sh - MU) < 0.12 * scale)
