@@ -294,6 +294,7 @@ class GP(ModelSet):
         node = self.kernel.spec_node()
         theta = self.kernel.get_parameter_vector(include_frozen=True)
         wn_vec = self._call_white_noise(self._x)
+        wn_projected = False
 
         from .solvers.state_space import StateSpaceSolver
         if isinstance(self.solver, StateSpaceSolver):
@@ -311,11 +312,21 @@ class GP(ModelSet):
             g_wn_vec = g_wn_sorted[inv]
             alpha = alpha_sorted[inv]
         elif hasattr(self.solver, "grad_core"):
-            # Factorization-aware path (e.g. HODLR): reverse mode through
-            # the solver's own structure, never materializing N x N.
+            # Factorization-aware path (e.g. HODLR): forward mode through
+            # the solver's own structure, never materializing N x N.  The
+            # white-noise chain rule runs in-program (one jvp direction per
+            # active noise parameter), so the solver hands back the
+            # already-projected white-noise gradient.
+            if len(self.white_noise):
+                wn_dirs = np.atleast_2d(
+                    self._call_white_noise_gradient(self._x)
+                )
+            else:
+                wn_dirs = None
             g_theta, g_wn_vec, alpha = self.solver.grad_core(
-                node, theta, wn_vec, r, self._yerr2
+                node, theta, wn_vec, r, self._yerr2, wn_dirs
             )
+            wn_projected = True
         else:
             g_theta, g_wn_vec, alpha = (
                 np.asarray(v) for v in linalg.grad_core_fn(node)(
@@ -339,8 +350,13 @@ class GP(ModelSet):
 
         n_wn = len(self.white_noise)
         if n_wn:
-            wn_grad = np.atleast_2d(self._call_white_noise_gradient(self._x))
-            grad[n:n + n_wn] = wn_grad @ g_wn_vec
+            if wn_projected:
+                grad[n:n + n_wn] = g_wn_vec      # already (d wn/d theta) @ g
+            else:
+                wn_grad = np.atleast_2d(
+                    self._call_white_noise_gradient(self._x)
+                )
+                grad[n:n + n_wn] = wn_grad @ g_wn_vec
             n += n_wn
 
         n_k = len(self.kernel)

@@ -382,16 +382,26 @@ def hodlr_compute(node, theta, x, diag_noise, min_size=100, tol=0.1,
 
 
 @lru_cache(maxsize=None)
-def hodlr_grad_fn(node, levels, leaf_size, ranks):
-    """Factorization-aware gradient core: reverse mode through the level
+def hodlr_grad_fn(node, levels, leaf_size, ranks, n_theta, n_wn_dirs):
+    """Factorization-aware gradient core: FORWARD mode through the level
     sweeps, never materializing an N x N matrix.
 
-    Returns ``core(theta, wn_vec, x_pad, r_pad, yerr2_pad, valid, tol)
-    -> (g_theta, g_wn (n_pad,), alpha (n_pad,))`` differentiating
-    ``-0.5 (logdet + r^T K^{-1} r)`` with
-    ``K = k(theta) + diag(yerr2 + exp(wn))``.  The reference has no analog
-    (its HODLR gradient goes through a dense N x N inverse, gp.py:436);
-    memory here is O(N rank log N) — the factorization's own footprint.
+    Returns ``core(theta, wn_dirs, wn_vec, x_pad, r_pad, yerr2_pad, valid,
+    tol) -> (g_theta (P,), g_wn_proj (n_wn_dirs,), alpha (n_pad,))``
+    differentiating ``-0.5 (logdet + r^T K^{-1} r)`` with
+    ``K = k(theta) + diag(yerr2 + exp(wn))``; ``g_wn_proj[j]`` is the
+    directional derivative along ``wn_dirs[j]`` (one row per active
+    white-noise parameter, i.e. the chain rule through the noise model is
+    applied in-program).  The reference has no analog (its HODLR gradient
+    goes through a dense N x N inverse, gp.py:436).
+
+    Forward mode (one ``jax.jvp`` sweep per parameter, P small) is the
+    memory-correct transform here: the batched ACA is a rank-length
+    ``fori_loop`` whose reverse-mode transpose checkpoints the (m, rank)
+    U/V carries per iteration — O(N rank^2) per level, ~18 GB at N=50k —
+    while each jvp runs tangents alongside the primal with the
+    factorization's own O(N rank log N) footprint (measured 1.7 GB at
+    N=50k, see tests/test_solvers.py::test_hodlr_gradient_memory_large_n).
     """
     compute = _compute_all_fn(node, levels, leaf_size, ranks)
 
@@ -408,22 +418,45 @@ def hodlr_grad_fn(node, levels, leaf_size, ranks):
         ll = -0.5 * (stats[0] + jnp.sum(r_pad * alpha))
         return ll, alpha
 
-    grad = jax.grad(nll_half, argnums=(0, 1), has_aux=True)
-
     @jax.jit
-    def core(theta, wn_vec, x_pad, r_pad, yerr2_pad, valid, tol):
-        (g_theta, g_wn), alpha = grad(
-            theta, wn_vec, x_pad, r_pad, yerr2_pad, valid, tol
-        )
-        return g_theta, g_wn, alpha
+    def core(theta, wn_dirs, wn_vec, x_pad, r_pad, yerr2_pad, valid, tol):
+        def f(th, wv):
+            return nll_half(th, wv, x_pad, r_pad, yerr2_pad, valid, tol)
+
+        zero_wn = jnp.zeros_like(wn_vec)
+        tangents = [
+            ((jnp.zeros_like(theta).at[j].set(1.0)), zero_wn)
+            for j in range(n_theta)
+        ] + [
+            (jnp.zeros_like(theta), wn_dirs[j])
+            for j in range(n_wn_dirs)
+        ]
+        outs = [
+            jax.jvp(f, (theta, wn_vec), t, has_aux=False)
+            for t in tangents
+        ]
+        # The primal legs of every jvp are identical and CSE away; alpha
+        # comes from any of them (or a plain call when P = 0).
+        if outs:
+            (_, alpha), _ = outs[0]
+            gs = jnp.stack([t[0] for (_, t) in outs])
+        else:
+            _, alpha = f(theta, wn_vec)
+            gs = jnp.zeros((0,), x_pad.dtype)
+        return gs[:n_theta], gs[n_theta:], alpha
 
     return core
 
 
 def hodlr_grad_core(node, fact, theta, wn_vec, x_sorted, r_sorted,
-                    yerr2_sorted, tol):
+                    yerr2_sorted, tol, wn_dirs=None):
     """Gradient of the HODLR marginal likelihood in the solver's sorted
-    order, using the plan/ranks of an existing factorization ``fact``."""
+    order, using the plan/ranks of an existing factorization ``fact``.
+
+    ``wn_dirs`` is the (n_active_wn, N) matrix of white-noise model
+    derivative rows (d wn_i / d theta_j); the returned white-noise gradient
+    is already projected onto them.
+    """
     n, n_pad = fact.n, fact.n_pad
     ranks = tuple(int(u.shape[-1]) for u in fact.level_U0)
     pad = n_pad - n
@@ -441,13 +474,23 @@ def hodlr_grad_core(node, fact, theta, wn_vec, x_sorted, r_sorted,
     wn_pad = jnp.concatenate([
         jnp.asarray(wn_vec), jnp.zeros(pad, x_pad.dtype)
     ])
+    if wn_dirs is None:
+        dirs_pad = jnp.zeros((0, n_pad), x_pad.dtype)
+    else:
+        dirs = jnp.atleast_2d(jnp.asarray(wn_dirs, x_pad.dtype))
+        dirs_pad = jnp.concatenate([
+            dirs, jnp.zeros((dirs.shape[0], pad), x_pad.dtype)
+        ], axis=1)
     valid = jnp.arange(n_pad) < n
-    core = hodlr_grad_fn(node, fact.levels, fact.leaf_size, ranks)
-    g_theta, g_wn, alpha = core(
-        jnp.asarray(theta), wn_pad, x_pad, r_pad, yerr2_pad, valid,
-        jnp.asarray(tol, x_pad.dtype),
+    core = hodlr_grad_fn(
+        node, fact.levels, fact.leaf_size, ranks,
+        int(jnp.asarray(theta).shape[0]), int(dirs_pad.shape[0]),
     )
-    return g_theta, g_wn[:n], alpha[:n]
+    g_theta, g_wn_proj, alpha = core(
+        jnp.asarray(theta), dirs_pad, wn_pad, x_pad, r_pad, yerr2_pad,
+        valid, jnp.asarray(tol, x_pad.dtype),
+    )
+    return g_theta, g_wn_proj, alpha[:n]
 
 
 @jax.jit

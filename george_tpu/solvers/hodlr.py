@@ -83,29 +83,34 @@ class HODLRSolver(BasicSolver):
         self.log_determinant = self._fact.log_determinant
         self.computed = True
 
-    def grad_core(self, node, theta, wn_vec, r, yerr2):
+    def grad_core(self, node, theta, wn_vec, r, yerr2, wn_dirs=None):
         """Factorization-aware gradient of -0.5 (logdet + r^T K^-1 r).
 
-        Reverse mode through the level sweeps (ops/hodlr_core.py) — never
+        Forward mode through the level sweeps (ops/hodlr_core.py) — never
         materializes N x N, unlike the reference's dense ``get_inverse``
-        gradient path (gp.py:436).  Inputs/outputs in user order; the
-        internal sort permutation is applied and undone here.
+        gradient path (gp.py:436).  Inputs in user order; the internal sort
+        permutation is applied here.  ``wn_dirs`` (n_active_wn, N) carries
+        the white-noise model's derivative rows; the returned white-noise
+        gradient is already projected onto them (``wn_projected=True``
+        contract in GP.grad_log_likelihood).
         """
         import numpy as np
 
         perm, inv = self._perm, getattr(self, "_inv_perm", None)
         if perm is not None:
             wn_vec, r, yerr2 = wn_vec[perm], r[perm], yerr2[perm]
-        g_theta, g_wn, alpha = hodlr_core.hodlr_grad_core(
+            if wn_dirs is not None:
+                wn_dirs = np.atleast_2d(wn_dirs)[:, perm]
+        g_theta, g_wn_proj, alpha = hodlr_core.hodlr_grad_core(
             node, self._fact, theta, wn_vec, self._x_sorted, r, yerr2,
-            self.tol,
+            self.tol, wn_dirs=wn_dirs,
         )
         g_theta = np.asarray(g_theta)
-        g_wn = np.asarray(g_wn)
+        g_wn_proj = np.asarray(g_wn_proj)
         alpha = np.asarray(alpha)
         if perm is not None:
-            g_wn, alpha = g_wn[inv], alpha[inv]
-        return g_theta, g_wn, alpha
+            alpha = alpha[inv]
+        return g_theta, g_wn_proj, alpha
 
     def apply_inverse(self, y, in_place=False):
         z = np.asarray(y)

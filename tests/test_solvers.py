@@ -128,3 +128,128 @@ def test_compute_required_error():
         gp.recompute()
     with pytest.raises(ValueError):
         gp.parse_samples(np.zeros((3, 2)))  # wrong ndim
+
+
+def test_hodlr_gradient_large_n(N=2048, seed=5, eps=1e-4):
+    # FD oracle for the forward-mode factorization-aware gradient at the
+    # scale HODLR exists for (reference analog: hodlr.h + dense
+    # get_inverse at gp.py:436, which would build a 2048^2 inverse here).
+    np.random.seed(seed)
+    x = np.sort(np.random.uniform(0, 50, N))
+    kernel = 0.8 * kernels.Matern32Kernel(2.0)
+    gp = george.GP(kernel, solver=HODLRSolver, tol=1e-8, seed=42,
+                   white_noise=np.log(0.02), fit_white_noise=True)
+    y = np.sin(x) + 0.1 * np.random.randn(N)
+    gp.compute(x, 0.1)
+    grad0 = gp.grad_log_likelihood(y)
+
+    vector = gp.get_parameter_vector()
+    for i, v in enumerate(vector):
+        for sign in (1.0, -1.0):
+            vector[i] = v + sign * eps
+            gp.set_parameter_vector(vector)
+            if sign > 0:
+                lp = gp.log_likelihood(y)
+            else:
+                lm = gp.log_likelihood(y)
+        vector[i] = v
+        gp.set_parameter_vector(vector)
+        fd = 0.5 * (lp - lm) / eps
+        assert np.abs(fd - grad0[i]) < 1e-4 * max(1.0, np.abs(fd)), (
+            i, fd, grad0[i]
+        )
+
+
+def test_hodlr_gradient_memory_large_n(N=50000, seed=6):
+    # The gradient's selling point: O(N rank log N) memory.  Dense K alone
+    # would be 20 GB (f64) at N=50k; the reverse-mode formulation this
+    # replaced checkpointed the ACA carries and peaked at 18.7 GB.  The
+    # forward-mode path must stay far under both.
+    import resource
+
+    np.random.seed(seed)
+    x = np.sort(np.random.uniform(0, 500, N))
+    kernel = 0.8 * kernels.Matern32Kernel(2.0)
+    gp = george.GP(kernel, solver=HODLRSolver, tol=1e-6, seed=42,
+                   min_size=128, white_noise=np.log(0.02),
+                   fit_white_noise=True)
+    y = np.sin(x) + 0.1 * np.random.randn(N)
+    gp.compute(x, 0.1)
+    g = gp.grad_log_likelihood(y)
+    assert np.all(np.isfinite(g)) and g.shape == (3,)
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    assert peak_mb < 12000, "gradient peak RSS {0:.0f} MB".format(peak_mb)
+
+
+def test_hodlr_rank_escalation_retries(monkeypatch, N=600, seed=99,
+                                       ndim=3):
+    # Saturated tolerance-derived caps escalate (doubling, multiple
+    # retries) until the ACA converges — the batched analog of the
+    # reference's rank-adaptive ACA growth (hodlr.h:136-221).
+    from george_tpu.ops import hodlr_core
+    from george_tpu.utils import nd_sort_samples
+
+    calls = []
+    orig = hodlr_core._compute_all_fn
+
+    def counting(node, levels, leaf_size, ranks):
+        calls.append(ranks)
+        return orig(node, levels, leaf_size, ranks)
+
+    monkeypatch.setattr(hodlr_core, "_compute_all_fn", counting)
+    # Start from a cap below the blocks' numerical rank (the
+    # default caps at tol=1e-10 converge without retries here).
+    monkeypatch.setattr(hodlr_core, "_rank_cap",
+                        lambda tol, m: min(m, 64))
+
+    np.random.seed(seed)
+    x = np.random.uniform(0, 5, (N, ndim))
+    x = x[nd_sort_samples(x)]
+    y = np.sin(x[:, 0] + x[:, 1])
+    kernel = 1.0 * kernels.ExpSquaredKernel(2.0, ndim=ndim)
+    gp = george.GP(kernel, solver=HODLRSolver, tol=1e-10, min_size=64)
+    gp.compute(x, 0.1)
+    ll = gp.log_likelihood(y)
+
+    assert len(calls) >= 3, calls       # initial attempt + >= 2 retries
+    for a, b in zip(calls, calls[1:]):  # caps double between attempts
+        assert all(rb >= ra for ra, rb in zip(a, b))
+
+    gp_dense = george.GP(kernel.copy() if hasattr(kernel, "copy")
+                         else 1.0 * kernels.ExpSquaredKernel(2.0, ndim=ndim),
+                         solver=BasicSolver)
+    gp_dense.compute(x, 0.1)
+    assert np.allclose(ll, gp_dense.log_likelihood(y))
+
+
+def test_hodlr_explicit_max_rank_is_hard_cap(monkeypatch, N=600, seed=99,
+                                             ndim=3):
+    # An explicit max_rank never escalates: one factorization attempt and
+    # a warning telling the user to raise max_rank.
+    import warnings as _warnings
+    from george_tpu.ops import hodlr_core
+    from george_tpu.utils import nd_sort_samples
+
+    calls = []
+    orig = hodlr_core._compute_all_fn
+
+    def counting(node, levels, leaf_size, ranks):
+        calls.append(ranks)
+        return orig(node, levels, leaf_size, ranks)
+
+    monkeypatch.setattr(hodlr_core, "_compute_all_fn", counting)
+
+    np.random.seed(seed)
+    x = np.random.uniform(0, 5, (N, ndim))
+    x = x[nd_sort_samples(x)]
+    y = np.sin(x[:, 0] + x[:, 1])
+    kernel = 1.0 * kernels.ExpSquaredKernel(2.0, ndim=ndim)
+    gp = george.GP(kernel, solver=HODLRSolver, tol=1e-10, min_size=64,
+                   max_rank=4)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        gp.compute(x, 0.1)
+    assert len(calls) == 1
+    assert all(r <= 4 for r in calls[0])
+    assert any("max_rank" in str(w.message) for w in caught)
+    assert np.isfinite(gp.log_likelihood(y))
