@@ -3,7 +3,7 @@
 no-config-file philosophy — everything else is constructor kwargs)."""
 
 __all__ = ["pallas_covariance", "pallas_min_elements", "pallas_kalman",
-           "pallas_dense"]
+           "pallas_dense", "engine_log"]
 
 # When to route stationary covariance builds through the Pallas TPU kernel:
 #   "auto"   — on TPU, float32, unblocked stationary leaves, and the output
@@ -22,7 +22,12 @@ pallas_min_elements = 1 << 20
 pallas_kalman = "auto"
 
 # The fused Pallas batched dense value+gradient kernel (ops/pallas_dense.py)
-# for multi-dim / no-state-space posteriors at N <= 128 (the "thousands of
+# for multi-dim / no-state-space posteriors at N <= 256 (the "thousands of
 # chains x small-N Cholesky" shape). Same tri-state semantics as
 # `pallas_kalman`.
 pallas_dense = "auto"
+
+# Emit a one-line warning (logging.getLogger("george_tpu")) when a sampler
+# posterior falls OUT of a fused-kernel envelope and silently lands on the
+# slower XLA path (e.g. dense N > 256, general metrics, non-scalar means).
+engine_log = True

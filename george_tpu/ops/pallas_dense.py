@@ -65,8 +65,9 @@ __all__ = [
 _LANES = 128
 _T = 8                  # panel / block width (f32 sublane tile)
 
-# The (N, N, 128) working set must stay VMEM resident: 8 MB at N=128.
-MAX_N = 128
+# The (N, N, 128) working set must stay VMEM resident: 8 MB at N=128,
+# 32 MB at N=256 (v5e VMEM holds it; the vmem_limit below allows it).
+MAX_N = 256
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
@@ -109,14 +110,23 @@ def _round_up(n, m):
 # dominated the whole kernel: 102 of 103 ms at 4096 chains x N=128.)
 # ---------------------------------------------------------------------------
 
-def _row_tile(XR, a, i0, rows):
-    """(rows, 1, B) tile of coordinate axis ``a`` for rows [i0, i0+rows)."""
-    return XR[a][i0:i0 + rows][:, None, :]
+def _row_tile(xr, a, i0, rows):
+    """(rows, 1, B) tile of coordinate axis ``a`` for rows [i0, i0+rows).
+
+    ``xr`` is the whole-board VALUE when ``i0`` is a static Python int
+    (the unrolled small-N path — value slicing schedules ~15% faster), and
+    the REF when ``i0`` is a traced fori index (values only admit static
+    slices; the ref read goes through ``pl.ds``)."""
+    if isinstance(i0, int):
+        return xr[a][i0:i0 + rows][:, None, :]
+    return xr[a, pl.ds(i0, rows), :][:, None, :]
 
 
-def _col_tile(XR, a):
-    """(1, N, B) tile of coordinate axis ``a`` (all columns)."""
-    return XR[a][None, :, :]
+def _col_tile(xr, a):
+    """(1, N, B) tile of coordinate axis ``a`` (all columns).
+
+    The same expression indexes a value or loads from a ref."""
+    return xr[a][None, :, :]
 
 
 def _block_mask_f32(node, XR, i0, rows):
@@ -237,54 +247,83 @@ def _invert_diag_blocks(blocks):
     return inv_unit * inv_d[:, None, :, :]               # column scaling
 
 
+# Row-chunk height for every value read that scales with the remaining
+# column height.  Mosaic's register allocator works over the whole
+# unrolled program: panel/copy values proportional to H = n - j0 spill
+# catastrophically past 128 rows (147 MB of spill slots at N=256), while
+# <= 128-row chunks stay register-clean at every supported N.
+_CHUNK = 128
+
+
 def _cholesky_in_place(M, n):
     """Blocked right-looking Cholesky on the (N, N, B) scratch ref.
 
-    Returns the summed log-determinant (1, B).  Each panel is read once as
-    an (H, 8, B) tile and factored with (H, 1, B) column arithmetic; the
-    trailing downdate contracts over the sublane (column) axis, so no
-    cross-layout shuffles occur.  Entries above the diagonal are left as
-    garbage — valid entries never read them — and are zeroed by the caller
-    afterwards.
+    Returns the summed log-determinant (1, B).  The top (<= _CHUNK)-row
+    panel tile is factored with (rows, 1, B) column arithmetic; deeper row
+    chunks forward-substitute against the inverted 8x8 diagonal block, and
+    the trailing downdate runs per row chunk, skipping chunks entirely
+    above the diagonal.  Entries above the diagonal are left as garbage —
+    valid entries never read them — and are zeroed by the caller.
     """
     nb = n // _T
     logdet = jnp.zeros((1, _LANES), jnp.float32)
 
     for jb in range(nb):
         j0 = jb * _T
-        P = M[j0:, j0:j0 + _T, :]                        # (H, 8, B)
+        h_top = min(n - j0, _CHUNK)
+        P = M[j0:j0 + h_top, j0:j0 + _T, :]              # (h, 8, B)
         cols = []
         for t in range(_T):
-            c = P[:, t:t + 1, :]                         # (H, 1, B)
+            c = P[:, t:t + 1, :]                         # (h, 1, B)
             for s in range(t):
                 c = c - cols[s] * cols[s][t]
             piv = c[t]                                   # (1, B)
             logdet = logdet + jnp.log(piv)
             c = c * (1.0 / jnp.sqrt(piv))
             cols.append(c)
-        Pnew = jnp.concatenate(cols, axis=1)             # (H, 8, B)
-        M[j0:, j0:j0 + _T, :] = Pnew
+        M[j0:j0 + h_top, j0:j0 + _T, :] = jnp.concatenate(cols, axis=1)
 
-        # Trailing downdate: K[j1:, c] -= sum_s L[j1:, j0+s] L[c, j0+s].
+        # Rows below the factored chunk: L21 = A21 L11^{-T} via the exact
+        # 8x8 diagonal-block inverse (same Neumann product the solver
+        # reuses), chunked so no value exceeds (_CHUNK, 8, B).
+        if h_top < n - j0:
+            Dinv = _invert_diag_blocks(
+                M[j0:j0 + _T, j0:j0 + _T, :][None]
+            )[0]                                         # (8, 8, B)
+            for r0 in range(j0 + h_top, n, _CHUNK):
+                rc = min(_CHUNK, n - r0)
+                A = M[r0:r0 + rc, j0:j0 + _T, :]         # (rc, 8, B)
+                L21 = jnp.concatenate([
+                    jnp.sum(A * Dinv[j][None, :, :], axis=1,
+                            keepdims=True)
+                    for j in range(_T)
+                ], axis=1)
+                M[r0:r0 + rc, j0:j0 + _T, :] = L21
+
+        # Trailing downdate: K[r, c] -= sum_s L[r, j0+s] L[c, j0+s],
+        # per row chunk; col blocks beyond the chunk's last row are
+        # above-diagonal garbage and are skipped outright.
         j1 = j0 + _T
-        if j1 < n:
-            panel = Pnew[_T:]                            # (H-8, 8, B)
+        for r0 in range(j1, n, _CHUNK):
+            rc = min(_CHUNK, n - r0)
+            Lr = M[r0:r0 + rc, j0:j0 + _T, :]            # (rc, 8, B)
+            ncb = (r0 + rc - j1) // _T
 
-            def trail(cb, _):
+            def trail(cb, _, Lr=Lr, r0=r0, rc=rc):
                 c0 = j1 + cb * _T
                 F = M[pl.ds(c0, _T), pl.ds(j0, _T), :]   # (8c, 8s, B)
                 upd = [
-                    jnp.sum(panel * F[c][None, :, :], axis=1,
+                    jnp.sum(Lr * F[c][None, :, :], axis=1,
                             keepdims=True)
                     for c in range(_T)
                 ]
-                M[j1:, pl.ds(c0, _T), :] = (
-                    M[j1:, pl.ds(c0, _T), :]
+                M[r0:r0 + rc, pl.ds(c0, _T), :] = (
+                    M[r0:r0 + rc, pl.ds(c0, _T), :]
                     - jnp.concatenate(upd, axis=1)
                 )
                 return _
 
-            jax.lax.fori_loop(0, (n - j1) // _T, trail, 0)
+            jax.lax.fori_loop(0, ncb, trail, 0)
     return logdet
 
 
@@ -295,9 +334,10 @@ def _zero_upper(M, n):
     low = (r >= c).astype(jnp.float32)
     for jb in range(n // _T):
         j0 = jb * _T
-        if j0 > 0:
-            M[:j0, j0:j0 + _T, :] = jnp.zeros(
-                (j0, _T, _LANES), jnp.float32
+        for r0 in range(0, j0, _CHUNK):
+            rc = min(_CHUNK, j0 - r0)
+            M[r0:r0 + rc, j0:j0 + _T, :] = jnp.zeros(
+                (rc, _T, _LANES), jnp.float32
             )
         M[j0:j0 + _T, j0:j0 + _T, :] = M[j0:j0 + _T, j0:j0 + _T, :] * low
 
@@ -334,7 +374,9 @@ def _trtri_in_place(M, Z, Dref, n):
             return _
 
         jax.lax.fori_loop(0, nrb, row_block, 0)
-        M[j0:, j0:j0 + _T, :] = Z[:n - j0, :, :]
+        for r0 in range(j0, n, _CHUNK):
+            rc = min(_CHUNK, n - r0)
+            M[r0:r0 + rc, j0:j0 + _T, :] = Z[r0 - j0:r0 - j0 + rc, :, :]
 
 
 def _apply_sts(M, r, n):
@@ -371,11 +413,25 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
     n_scalar = n_mean + n_wn
     n_act = len(active)
 
-    def kernel(th_ref, xr_ref, y_ref, v_ref, ll_ref, g_ref, M, Z, Dref):
+    def kernel(th_ref, xr_ref, y_ref, v_ref, ll_ref, g_ref, M, Z, Dref,
+               Aref):
         th = th_ref[...]                                  # (P, B)
-        XR = xr_ref[...]                                  # (d, n_pad, B)
         y = y_ref[...]                                    # (n_pad, B)
-        v = v_ref[...]                                    # (n_pad, B)
+
+        # Small problems unroll every row-block loop over static indices
+        # and slice whole-board VALUES (best Mosaic scheduling); larger
+        # ones run fori_loops with ref reads so per-iteration register
+        # lifetimes stay bounded (the unrolled N=256 kernel spilled 140 MB
+        # of VMEM).
+        unroll = n_pad <= _CHUNK
+        xr_src = xr_ref[...] if unroll else xr_ref
+        if unroll:
+            v_all = v_ref[...]                            # (n_pad, B)
+
+        def vrow(i0):
+            if unroll:
+                return v_all[i0:i0 + _T]
+            return v_ref[pl.ds(i0, _T), :]
 
         mean = th[0] if n_mean else None
         wn = th[n_mean] if n_wn else None
@@ -391,11 +447,13 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
             r = r * (ridx < n_real).astype(jnp.float32)
         r = jnp.broadcast_to(r, (n_pad, _LANES))
 
-        def build_rows(ib, th_k_, wn_):
-            """Covariance rows [8*ib, 8*ib+8) incl. noise + padding."""
-            i0 = ib * _T
-            Kb = build(th_k_, XR, i0)                     # (8, n_pad, B)
-            noise = v[i0:i0 + _T][:, None, :] + (
+        def build_rows(i0, th_k_, wn_):
+            """Covariance rows [i0, i0+8) incl. noise + padding.
+
+            ``i0`` is a static int on the unrolled path (value slicing) or
+            a traced fori index (ref reads through ``pl.ds``)."""
+            Kb = build(th_k_, xr_src, i0)                 # (8, n_pad, B)
+            noise = vrow(i0)[:, None, :] + (
                 jnp.exp(wn_).reshape(1, 1, -1) if n_wn else 0.0
             )                                             # (8, 1, B)
             # All masks are built at full lane width so no vreg needs a
@@ -421,9 +479,17 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
             ll_ref[0, :, :] = jnp.broadcast_to(val[None, :], (_T, _LANES))
             g_ref[...] = jnp.zeros((1, n_act, _LANES), jnp.float32)
 
-        # 1. build K (row blocks keep intermediates small).
-        for ib in range(nb):
-            M[ib * _T:(ib + 1) * _T, :, :] = build_rows(ib, th_k, wn)
+        # 1. build K (fori vs unroll per the ``unroll`` rationale above).
+        def build_body(ib, _):
+            i0 = ib * _T
+            M[pl.ds(i0, _T), :, :] = build_rows(i0, th_k, wn)
+            return _
+
+        if unroll:
+            for ib in range(nb):
+                build_body(ib, 0)
+        else:
+            jax.lax.fori_loop(0, nb, build_body, 0)
         if stage <= 1:
             return bail(M[0, 0, :])
 
@@ -444,6 +510,7 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
         if stage <= 4:
             return bail(M[0, 0, :])
         alpha = _apply_sts(M, r, n_pad)
+        Aref[...] = alpha                # ref copy for dynamic row reads
         quad = jnp.sum(r * alpha, axis=0)
         ll = -0.5 * (n_real * _LOG_2PI + logdet + quad)
         # (1, 8, 128) output block: broadcast over the sublane tile.
@@ -456,48 +523,50 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
         # covariance tangents (one direction per active parameter).  The
         # row blocks of S^T S accumulate as 8 separate (N, B) carries so
         # every operand is a natural leading-row read or a lane-scalar.
+        # The outer row-block loop is a fori_loop (same register-spill
+        # reasoning as the build loop), so every slice it takes goes
+        # through refs with ``pl.ds``.
         g_mean = jnp.sum(alpha, axis=0) if n_mean else None
-        g_act = {
-            a: jnp.zeros((_LANES,), jnp.float32)
-            for a in active if a >= n_mean
-        }
+        acts = tuple(a for a in active if a >= n_mean)
 
-        for ib in range(nb if stage > 7 else 1):
-            i0 = ib * _T
-
+        def sts_blocks(i0, lower):
+            """S^T S rows [i0, i0+8) as 8 (N, B) carries, summing over
+            row blocks kb >= lower of S (S is lower-triangular, so blocks
+            above ``lower`` contribute nothing)."""
             def sts_rows(kb, Gs):
                 k0 = kb * _T
                 Sk = M[pl.ds(k0, _T), :, :]               # (8, N, B)
-                rows = [Sk[w] for w in range(_T)]
+                Fblk = M[pl.ds(k0, _T), pl.ds(i0, _T), :]  # (8w, 8u, B)
                 out = []
                 for u in range(_T):
                     g = Gs[u]
                     for w in range(_T):
-                        g = g + rows[w][i0 + u] * rows[w]
+                        g = g + Fblk[w, u] * Sk[w]
                     out.append(g)
                 return tuple(out)
 
-            Gs = jax.lax.fori_loop(
-                ib, nb, sts_rows,
+            return jax.lax.fori_loop(
+                lower, nb, sts_rows,
                 tuple(jnp.zeros((n_pad, _LANES), jnp.float32)
                       for _ in range(_T)),
             )
-            if stage <= 6:
-                return bail(Gs[0][0])
-            A_halves = [
-                0.5 * (alpha[i0 + u] * alpha - Gs[u]) for u in range(_T)
-            ]
-            if stage <= 7:
-                return bail(A_halves[0][0])
 
-            # Contract with dK/dtheta_a by FORWARD-mode jvp, one direction
-            # per active parameter (reverse-mode transposes of the radial
-            # custom_jvp trip a Mosaic relayout bug; the jvp path is the
-            # same machinery the Kalman kernel uses).  The primal build is
-            # identical across directions and CSEs away.
-            for a in active:
-                if a < n_mean:
-                    continue                     # mean handled analytically
+        def contractions(i0, Gs, carry):
+            """A-block forms + the per-parameter jvp contraction."""
+            if isinstance(i0, int):
+                Ab = alpha[i0:i0 + _T]                    # (8, B)
+            else:
+                Ab = Aref[pl.ds(i0, _T), :]               # (8, B)
+            A_halves = [
+                0.5 * (Ab[u] * alpha - Gs[u]) for u in range(_T)
+            ]
+            # FORWARD-mode jvp, one direction per active parameter
+            # (reverse-mode transposes of the radial custom_jvp trip a
+            # Mosaic relayout bug; the jvp path is the same machinery the
+            # Kalman kernel uses).  The primal build is identical across
+            # directions and CSEs away.
+            out = []
+            for idx, a in enumerate(acts):
                 if n_wn and a == n_mean:
                     tk_dir = jnp.zeros_like(th_k)
                     wn_dir = jnp.ones_like(wn)
@@ -509,21 +578,41 @@ def _kernel_builder(node, n_pad, n_real, n_mean, n_wn, active, stage=99):
                     wn_dir = jnp.zeros_like(wn) if n_wn else None
                 if n_wn:
                     _, dK = jax.jvp(
-                        lambda tk, w_: build_rows(ib, tk, w_),
+                        lambda tk, w_: build_rows(i0, tk, w_),
                         (th_k, wn), (tk_dir, wn_dir),
                     )
                 else:
                     _, dK = jax.jvp(
-                        lambda tk: build_rows(ib, tk, None),
+                        lambda tk: build_rows(i0, tk, None),
                         (th_k,), (tk_dir,),
                     )
-                g_act[a] = g_act[a] + sum(
+                out.append(carry[idx] + sum(
                     jnp.sum(A_halves[u] * dK[u], axis=0)
                     for u in range(_T)
-                )
+                ))
+            return tuple(out)
 
+        if stage <= 7:
+            Gs = sts_blocks(0, 0)
+            if stage <= 6:
+                return bail(Gs[0][0])
+            Ab = Aref[0:_T, :]
+            return bail((0.5 * (Ab[0] * alpha - Gs[0]))[0])
+
+        def grad_body(ib, carry):
+            i0 = ib * _T
+            return contractions(i0, sts_blocks(i0, ib), carry)
+
+        g_init = tuple(jnp.zeros((_LANES,), jnp.float32) for _ in acts)
+        if unroll:
+            g_acts = g_init
+            for ib in range(nb):
+                g_acts = grad_body(ib, g_acts)
+        else:
+            g_acts = jax.lax.fori_loop(0, nb, grad_body, g_init)
+        g_of = dict(zip(acts, g_acts))
         for j, a in enumerate(active):
-            g_ref[0, j, :] = g_mean if a < n_mean else g_act[a]
+            g_ref[0, j, :] = g_mean if a < n_mean else g_of[a]
 
     return kernel, n_act
 
@@ -611,6 +700,7 @@ def make_dense_batched_vg(node, x, y, yerr2, n_mean, n_wn, active,
                 pltpu.VMEM((n_pad, n_pad, _LANES), jnp.float32),
                 pltpu.VMEM((n_pad, _T, _LANES), jnp.float32),
                 pltpu.VMEM((n_pad // _T, _T, _T, _LANES), jnp.float32),
+                pltpu.VMEM((n_pad, _LANES), jnp.float32),     # alpha
             ],
             compiler_params=pltpu.CompilerParams(
                 # The (N, N, 128) buffer plus transient build/jvp tiles sit

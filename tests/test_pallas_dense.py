@@ -117,8 +117,9 @@ def test_not_attached_when_unsupported(pallas_dense_always):
     log_prob, _ = build_gp_log_prob(gp, x, y, yerr, method="dense")
     assert not hasattr(log_prob, "batched_value_and_grad")
 
-    # N > 128 -> no attach.
-    x2, y2, yerr2 = _dataset(n=140)
+    # N > MAX_N -> no attach.
+    from george_tpu.ops.pallas_dense import MAX_N
+    x2, y2, yerr2 = _dataset(n=MAX_N + 12)
     gp2 = _config5_gp()
     log_prob2, _ = build_gp_log_prob(gp2, x2, y2, yerr2, method="dense")
     assert not hasattr(log_prob2, "batched_value_and_grad")
@@ -206,3 +207,42 @@ def test_chees_uses_batched_dense_vg(pallas_dense_always):
                    num_warmup=40, num_samples=40)
     s = summary(res.samples)
     assert np.all(np.isfinite(np.asarray(s["mean"])))
+
+
+def test_fallback_logging_out_of_envelope(caplog):
+    # N above MAX_N lands on the XLA path with a one-line engine notice
+    # (config.engine_log); "never" and in-envelope attach stay silent.
+    import logging
+    import george_tpu as george
+    from george_tpu import kernels
+    from george_tpu.samplers import build_gp_log_prob
+    from george_tpu.ops import pallas_dense as pdz
+
+    rng = np.random.default_rng(0)
+    N = pdz.MAX_N + 8
+    x = rng.uniform(-3, 8, (N, 3))
+    y = np.sin(x[:, 0])
+    gp = george.GP(
+        1.0 * kernels.Matern32Kernel(metric=[1.0, 2.0], ndim=3,
+                                     axes=[0, 2]),
+        white_noise=np.log(1e-3), fit_white_noise=True,
+    )
+    config.pallas_dense = "always"
+    try:
+        with caplog.at_level(logging.WARNING, logger="george_tpu"):
+            log_prob, _ = build_gp_log_prob(gp, x, y, 0.1, method="dense")
+    finally:
+        config.pallas_dense = "auto"
+    assert not hasattr(log_prob, "batched_value_and_grad")
+    assert any("falling back" in r.getMessage() for r in caplog.records)
+
+    config.engine_log = False
+    config.pallas_dense = "always"
+    try:
+        with caplog.at_level(logging.WARNING, logger="george_tpu"):
+            caplog.clear()
+            build_gp_log_prob(gp, x, y, 0.1, method="dense")
+    finally:
+        config.engine_log = True
+        config.pallas_dense = "auto"
+    assert not caplog.records

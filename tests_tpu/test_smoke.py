@@ -19,6 +19,9 @@ from george_tpu.samplers import build_gp_log_prob
 
 
 def _report(name, delta):
+    import _ledger
+
+    _ledger.record(name, delta)
     print("\n[tpu-smoke] {0}: f32 delta = {1:.3g}".format(name, delta))
 
 
@@ -166,3 +169,38 @@ def test_blocked_cholesky_logdet_matches_native():
     _report("blocked cholesky logdet (rel)", delta)
     assert np.isfinite(ld_blocked)
     assert delta < 1e-4
+
+
+def test_pallas_dense_vg_n256():
+    # The widened envelope: N=256 (32 MB VMEM working set) runs fused.
+    rng = np.random.default_rng(5)
+    N, d = 256, 3
+    x = rng.uniform(-3, 8, (N, d))
+    yerr = 0.22 * np.ones(N)
+    y = np.sin(x[:, 0]) + yerr * rng.standard_normal(N)
+    gp = george.GP(
+        1.0 * kernels.Matern32Kernel(metric=[1.0, 2.0], ndim=3,
+                                     axes=[0, 2]),
+        white_noise=np.log(1e-3), fit_white_noise=True,
+        mean=0.0, fit_mean=True,
+    )
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr, method="dense")
+    assert hasattr(log_prob, "batched_value_and_grad")
+    thetas = jnp.asarray(
+        np.asarray(theta0)[None, :]
+        + 0.2 * rng.standard_normal((128, len(theta0))).astype(np.float32)
+    )
+    lp_p, g_p = jax.jit(log_prob.batched_value_and_grad)(thetas)
+    config.pallas_dense = "never"
+    try:
+        log_prob2, _ = build_gp_log_prob(gp, x, y, yerr, method="dense")
+    finally:
+        config.pallas_dense = "auto"
+    lp_s, g_s = jax.jit(jax.vmap(jax.value_and_grad(log_prob2)))(thetas)
+    d_lp = float(np.max(np.abs(np.asarray(lp_p) - np.asarray(lp_s))))
+    gs = np.asarray(g_s)
+    d_g = float(np.max(np.abs(np.asarray(g_p) - gs))) \
+        / max(1.0, float(np.max(np.abs(gs))))
+    _report("pallas dense vg N=256 (lp)", d_lp)
+    _report("pallas dense vg N=256 (grad, rel)", d_g)
+    assert d_lp < 0.1 and d_g < 1e-3
