@@ -328,7 +328,7 @@ def make_kalman_vg(node, t, y, yerr2, n_mean, n_wn, active,
         extra_in = [first_dev, *series]
         extra_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+            + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] * 3
         )
         scratch = [
             pltpu.SMEM((2 * chunk,), jnp.float32),
