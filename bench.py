@@ -93,8 +93,13 @@ def main():
               flush=True)
 
     def measure(algo, warmup, samples, chains, seed):
+        # max_depth=4 measured best for NUTS on this posterior: the
+        # trajectories' natural length is ~9 leapfrogs (p99 = 15), so a
+        # deeper cap only inflates the batch-max the masked while_loop
+        # pays (depth 6 halved ESS/s; see BENCH_NOTES.md).
         opts = dict(num_warmup=warmup, num_samples=samples,
-                    max_depth=6, block_size=block, progress=progress,
+                    max_depth=int(os.environ.get("BENCH_MAX_DEPTH", 4)),
+                    block_size=block, progress=progress,
                     algorithm=algo)
         if algo == "chees":
             # num_leapfrog is the per-iteration cap for ChEES trajectories.
@@ -136,7 +141,7 @@ def main():
     # custom_vmap seam in samplers/mcmc.py).
     if algorithm == "chees" and os.environ.get("BENCH_SECONDARY", "nuts"):
         sec = measure("nuts", num_warmup,
-                      int(os.environ.get("BENCH_NUTS_SAMPLES", 300)),
+                      int(os.environ.get("BENCH_NUTS_SAMPLES", 1200)),
                       num_chains, 2)
         detail["nuts"] = sec
         detail["nuts_ess_per_s"] = round(sec["ess_per_s"], 3)
