@@ -2,6 +2,8 @@
 """Solver tests vs dense numpy oracles (parity with reference
 tests/test_solvers.py)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -160,6 +162,8 @@ def test_hodlr_gradient_large_n(N=2048, seed=5, eps=1e-4):
         )
 
 
+@pytest.mark.skipif(os.environ.get("CI") == "true",
+                    reason="needs ~7 GB RAM; hosted CI runners are smaller")
 def test_hodlr_gradient_memory_large_n(N=50000, seed=6):
     # The gradient's selling point: O(N rank log N) memory.  Dense K alone
     # would be 20 GB (f64) at N=50k; the reverse-mode formulation this
