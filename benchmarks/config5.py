@@ -30,6 +30,7 @@ def main():
     parser.add_argument("--max-depth", type=int, default=4)
     parser.add_argument("--pallas", default="auto",
                         choices=["auto", "never"])
+    parser.add_argument("--dense-mass", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -74,7 +75,7 @@ def main():
 
     opts = dict(num_warmup=args.warmup, num_samples=args.samples,
                 max_depth=args.max_depth, block_size=20,
-                algorithm=args.algo)
+                algorithm=args.algo, dense_mass=args.dense_mass)
     t_compile = time.time()
     run_mcmc(log_prob, z0, key, **dict(opts, num_warmup=20,
                                        num_samples=20))
@@ -86,6 +87,7 @@ def main():
     ess = np.asarray(effective_sample_size(res.samples))
     print(json.dumps({
         "config": 5, "algo": args.algo, "fused_pallas_dense": fused,
+        "dense_mass": args.dense_mass,
         "n": args.n, "chains": args.chains, "dim": int(dim),
         "warmup": args.warmup, "samples": args.samples,
         "ess_per_s": round(float(ess.min() / elapsed), 1),
