@@ -246,3 +246,25 @@ def test_fallback_logging_out_of_envelope(caplog):
         config.engine_log = True
         config.pallas_dense = "auto"
     assert not caplog.records
+
+
+def test_batched_vg_fori_branch_above_128(pallas_dense_always):
+    # N just over the unroll threshold exercises the fori_loop + ref-based
+    # slicing code paths (build, gradient, chunked Cholesky/trtri) that
+    # the N<=128 tests never touch.
+    x, y, yerr = _dataset(n=136)
+    gp = _config5_gp()
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr, method="dense")
+    assert hasattr(log_prob, "batched_value_and_grad")
+
+    rng = np.random.default_rng(5)
+    thetas = jnp.asarray(
+        np.asarray(theta0)[None, :]
+        + 0.15 * rng.standard_normal((4, len(theta0)))
+    )
+    lp_p, g_p = log_prob.batched_value_and_grad(thetas)
+    lp_s, g_s = jax.vmap(jax.value_and_grad(log_prob))(thetas)
+    assert np.allclose(np.asarray(lp_p), np.asarray(lp_s),
+                       rtol=1e-4, atol=1e-2)
+    assert np.allclose(np.asarray(g_p), np.asarray(g_s),
+                       rtol=1e-3, atol=1e-2)
