@@ -51,9 +51,9 @@ def main():
     # ChEES-HMC is the default: same Matern32 posterior (cross-validated
     # against NUTS within MC error, tests/test_samplers.py), with every
     # chain running the same shared adapted trajectory in lockstep, over
-    # the fused Pallas Kalman value+gradient kernel.  200062 ESS/s measured
-    # on one v5e chip vs 5790 for NUTS over the reverse-mode scan.
-    # BENCH_ALGO=nuts reproduces the NUTS number.
+    # the fused Pallas Kalman value+gradient kernel.  Round-3 run: 206369
+    # ESS/s on one v5e chip; depth-4 NUTS (the secondary leg below) 47342.
+    # BENCH_ALGO=nuts makes NUTS the headline instead.
     algorithm = os.environ.get("BENCH_ALGO", "chees")
 
     rng = np.random.default_rng(42)
