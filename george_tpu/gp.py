@@ -46,9 +46,11 @@ def _parse_model(model):
 
 
 def _deprecated(old, new):
+    # stacklevel=3: attribute the warning to the caller of the deprecated
+    # method, not this helper (and keep distinct once-per-location sites).
     warnings.warn(
         "'{0}' is deprecated. Use '{1}'".format(old, new),
-        DeprecationWarning,
+        DeprecationWarning, stacklevel=3,
     )
 
 
@@ -323,8 +325,11 @@ class GP(ModelSet):
                 )
             else:
                 wn_dirs = None
+            # Each jvp direction is a full factorization sweep: restrict
+            # the kernel sweeps to the active (unfrozen) parameters.
             g_theta, g_wn_vec, alpha = self.solver.grad_core(
-                node, theta, wn_vec, r, self._yerr2, wn_dirs
+                node, theta, wn_vec, r, self._yerr2, wn_dirs,
+                tuple(np.flatnonzero(self.kernel.unfrozen_mask)),
             )
             wn_projected = True
         else:

@@ -382,7 +382,8 @@ def hodlr_compute(node, theta, x, diag_noise, min_size=100, tol=0.1,
 
 
 @lru_cache(maxsize=None)
-def hodlr_grad_fn(node, levels, leaf_size, ranks, n_theta, n_wn_dirs):
+def hodlr_grad_fn(node, levels, leaf_size, ranks, n_theta, n_wn_dirs,
+                  theta_idx):
     """Factorization-aware gradient core: FORWARD mode through the level
     sweeps, never materializing an N x N matrix.
 
@@ -426,7 +427,7 @@ def hodlr_grad_fn(node, levels, leaf_size, ranks, n_theta, n_wn_dirs):
         zero_wn = jnp.zeros_like(wn_vec)
         tangents = [
             ((jnp.zeros_like(theta).at[j].set(1.0)), zero_wn)
-            for j in range(n_theta)
+            for j in theta_idx
         ] + [
             (jnp.zeros_like(theta), wn_dirs[j])
             for j in range(n_wn_dirs)
@@ -437,25 +438,30 @@ def hodlr_grad_fn(node, levels, leaf_size, ranks, n_theta, n_wn_dirs):
         ]
         # The primal legs of every jvp are identical and CSE away; alpha
         # comes from any of them (or a plain call when P = 0).
+        n_k = len(theta_idx)
         if outs:
             (_, alpha), _ = outs[0]
             gs = jnp.stack([t[0] for (_, t) in outs])
         else:
             _, alpha = f(theta, wn_vec)
             gs = jnp.zeros((0,), x_pad.dtype)
-        return gs[:n_theta], gs[n_theta:], alpha
+        g_theta = jnp.zeros((n_theta,), x_pad.dtype)
+        if n_k:
+            g_theta = g_theta.at[jnp.asarray(theta_idx)].set(gs[:n_k])
+        return g_theta, gs[n_k:], alpha
 
     return core
 
 
 def hodlr_grad_core(node, fact, theta, wn_vec, x_sorted, r_sorted,
-                    yerr2_sorted, tol, wn_dirs=None):
+                    yerr2_sorted, tol, wn_dirs=None, theta_idx=None):
     """Gradient of the HODLR marginal likelihood in the solver's sorted
     order, using the plan/ranks of an existing factorization ``fact``.
 
     ``wn_dirs`` is the (n_active_wn, N) matrix of white-noise model
     derivative rows (d wn_i / d theta_j); the returned white-noise gradient
-    is already projected onto them.
+    is already projected onto them.  ``theta_idx`` (tuple of ints) limits
+    the kernel-parameter jvp sweeps to the active set; None means all.
     """
     n, n_pad = fact.n, fact.n_pad
     ranks = tuple(int(u.shape[-1]) for u in fact.level_U0)
@@ -482,9 +488,13 @@ def hodlr_grad_core(node, fact, theta, wn_vec, x_sorted, r_sorted,
             dirs, jnp.zeros((dirs.shape[0], pad), x_pad.dtype)
         ], axis=1)
     valid = jnp.arange(n_pad) < n
+    n_theta = int(jnp.asarray(theta).shape[0])
+    if theta_idx is None:
+        theta_idx = tuple(range(n_theta))
     core = hodlr_grad_fn(
         node, fact.levels, fact.leaf_size, ranks,
-        int(jnp.asarray(theta).shape[0]), int(dirs_pad.shape[0]),
+        n_theta, int(dirs_pad.shape[0]),
+        tuple(int(i) for i in theta_idx),
     )
     g_theta, g_wn_proj, alpha = core(
         jnp.asarray(theta), dirs_pad, wn_pad, x_pad, r_pad, yerr2_pad,

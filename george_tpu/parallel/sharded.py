@@ -81,11 +81,22 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
     norm_const = 0.5 * n_real * np.log(2.0 * np.pi)
 
     if distributed_cholesky == "auto":
-        # Auto-enabling needs the mesh: without it the dataset cannot be
-        # padded to a P * block_size multiple, and the local factorization
-        # would reject non-divisible shards downstream.  No mesh -> stay on
-        # the replicated path (the pre-"auto" behavior).
-        distributed_cholesky = mesh is not None and n_real >= DIST_CHOL_MIN_N
+        distributed_cholesky = n_real >= DIST_CHOL_MIN_N
+        if distributed_cholesky and mesh is None:
+            # Without the mesh the dataset cannot be padded to a
+            # P * block_size multiple, and the local factorization rejects
+            # non-divisible shards downstream — stay replicated, loudly
+            # (pass mesh=, or distributed_cholesky=True for the unpadded
+            # behavior when N / num_devices already divides block_size).
+            distributed_cholesky = False
+            from ..samplers.logprob import _engine_note
+
+            _engine_note(
+                "no mesh= was passed, so the dataset cannot be padded to "
+                "a devices*block_size multiple at N={0}".format(n_real),
+                what="data-sharded likelihood: using the replicated "
+                     "factorization instead of the distributed Cholesky",
+            )
 
     if distributed_cholesky:
         from .dist_chol import distributed_loglike_fn

@@ -352,19 +352,18 @@ def _scalar_or_baked(model, x_sorted, base, transform):
     return None, None
 
 
-def _engine_note(reason):
-    """One-line, config-gated notice that a sampler posterior fell out of a
-    fused-kernel envelope onto the slower XLA path (VERDICT: silent
-    fallbacks hid which engine a run actually used)."""
+def _engine_note(reason, what="dense sampler path: falling back to the "
+                              "XLA batched value_and_grad"):
+    """One-line, config-gated notice that a computation fell out of a
+    fast-engine envelope onto a slower path (silent fallbacks hid which
+    engine a run actually used)."""
     from .. import config
 
     if getattr(config, "engine_log", True):
         import logging
 
         logging.getLogger("george_tpu").warning(
-            "dense sampler path: falling back to the XLA batched "
-            "value_and_grad (%s); set config.engine_log=False to silence",
-            reason,
+            "%s (%s); set config.engine_log=False to silence", what, reason,
         )
 
 

@@ -83,7 +83,8 @@ class HODLRSolver(BasicSolver):
         self.log_determinant = self._fact.log_determinant
         self.computed = True
 
-    def grad_core(self, node, theta, wn_vec, r, yerr2, wn_dirs=None):
+    def grad_core(self, node, theta, wn_vec, r, yerr2, wn_dirs=None,
+                  theta_idx=None):
         """Factorization-aware gradient of -0.5 (logdet + r^T K^-1 r).
 
         Forward mode through the level sweeps (ops/hodlr_core.py) — never
@@ -103,7 +104,7 @@ class HODLRSolver(BasicSolver):
                 wn_dirs = np.atleast_2d(wn_dirs)[:, perm]
         g_theta, g_wn_proj, alpha = hodlr_core.hodlr_grad_core(
             node, self._fact, theta, wn_vec, self._x_sorted, r, yerr2,
-            self.tol, wn_dirs=wn_dirs,
+            self.tol, wn_dirs=wn_dirs, theta_idx=theta_idx,
         )
         g_theta = np.asarray(g_theta)
         g_wn_proj = np.asarray(g_wn_proj)

@@ -21,9 +21,19 @@ def flush(extra=None):
     if not LEDGER:
         return
     path = os.path.join(os.path.dirname(__file__), "ledger.json")
+    # Merge into the committed record: a partial run (one test selected,
+    # or some tests skipped under chip contention) must not drop the
+    # other entries' deltas.
+    deltas = {}
+    try:
+        with open(path) as f:
+            deltas = dict(json.load(f).get("deltas", {}))
+    except (OSError, ValueError):
+        pass
+    deltas.update(LEDGER)
     payload = {
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        "deltas": dict(sorted(LEDGER.items())),
+        "deltas": dict(sorted(deltas.items())),
     }
     if extra:
         payload.update(extra)
