@@ -131,6 +131,7 @@ def main():
     detail = {
         "n": n, "backend": jax.default_backend(),
         "x64": bool(jax.config.jax_enable_x64),
+        "engine": getattr(log_prob, "engine", "unknown"),
     }
     detail.update(primary)
 

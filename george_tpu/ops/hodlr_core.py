@@ -381,7 +381,7 @@ def hodlr_compute(node, theta, x, diag_noise, min_size=100, tol=0.1,
     )
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=64)
 def hodlr_grad_fn(node, levels, leaf_size, ranks, n_theta, n_wn_dirs,
                   theta_idx):
     """Factorization-aware gradient core: FORWARD mode through the level

@@ -235,8 +235,14 @@ def _invert_diag_blocks(blocks):
     """Batched exact inverse of (nb, 8, 8, B) lower-triangular blocks.
 
     D = Lam (I - G) with G strictly lower and nilpotent (G^8 = 0), so
-    (I - G)^{-1} = (I + G)(I + G^2)(I + G^4) exactly.
+    (I - G)^{-1} = (I + G)(I + G^2)(I + G^4) exactly.  Inputs are masked
+    lower-triangular here so the Neumann identity holds by construction
+    even when the caller's block carries above-diagonal garbage (the
+    in-place factorization leaves f32 cancellation residue there).
     """
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, _T, _T, 1), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, _T, _T, 1), 2)
+    blocks = blocks * (r >= c).astype(jnp.float32)
     eye = _eye3()[None]                                  # (1, 8, 8, 1)
     d = jnp.sum(blocks * eye, axis=2)                    # (nb, 8, B)
     inv_d = 1.0 / d

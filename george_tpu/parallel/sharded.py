@@ -137,6 +137,7 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
                 lp = jnp.where(in_bounds, ll, -jnp.inf)
                 return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
+            log_prob.engine = "dist_chol"
             return log_prob
 
         return factory, (x_host, y_host, yerr2)
@@ -191,6 +192,7 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
             # gradient.
             return jax.lax.pmean(lp, data_axis)
 
+        log_prob.engine = "sharded_replicated_chol"
         return log_prob
 
     return factory, (x_host, y_host, yerr2)

@@ -171,6 +171,11 @@ def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None, method="auto"):
         # comparison folds the NaN case in too.
         return jnp.where(lp < jnp.inf, lp, -jnp.inf)
 
+    # Every built log_prob names the engine that will actually execute it
+    # (`log_prob.engine`), so benchmarks and users never have to infer the
+    # compute path from timings.  The attach helpers below overwrite this
+    # when a fused Pallas kernel takes over the batched hot path.
+    log_prob.engine = "xla_dense"
     _attach_pallas_dense_vg(
         log_prob, gp, node, x_host, y_host, yerr2, theta_full0, unfrozen,
         lo, hi, log_prior,
@@ -225,6 +230,9 @@ def _build_state_space_log_prob(gp, node, x_host, y_host, yerr2, log_prior,
             lp = lp + log_prior(theta_active)
         return jnp.where(lp < jnp.inf, lp, -jnp.inf)
 
+    log_prob.engine = "state_space_" + (
+        "parallel" if ss_method == "parallel" else "scan"
+    )
     _attach_pallas_vg(
         log_prob, gp, node, t_host, y_sorted, yerr2_sorted, x_sorted,
         theta_full0, unfrozen, lo, hi, log_prior,
@@ -255,9 +263,13 @@ def _attach_pallas_vg(log_prob, gp, node, t_host, y_sorted, yerr2_sorted,
     if not (pk.pallas_kalman_available() or interpret):
         return
     if len(t_host) > pk.MAX_N:
-        # The shared time series lives in SMEM; past this N the kernel
-        # would exceed the scalar-memory budget.  Fall back to the scan
-        # path silently (same math).
+        # Past this N even the HBM-streaming kernel's footprint bookkeeping
+        # runs out; fall back to the scan path (same math) — loudly.
+        _engine_note(
+            "N={0} > {1}".format(len(t_host), pk.MAX_N),
+            what="state-space sampler path: falling back to the XLA "
+                 "scan filter",
+        )
         return
 
     mean, wn = gp.mean, gp.white_noise
@@ -287,6 +299,10 @@ def _attach_pallas_vg(log_prob, gp, node, t_host, y_sorted, yerr2_sorted,
     )
     log_prob.batched_value_and_grad = _finish_batched_vg(
         vg_core, theta_full0, unfrozen, lo, hi, log_prior
+    )
+    log_prob.engine = (
+        "pallas_kalman_stream" if len(t_host) > pk._SMEM_N
+        else "pallas_kalman"
     )
 
 
@@ -420,3 +436,4 @@ def _attach_pallas_dense_vg(log_prob, gp, node, x_host, y_host, yerr2,
     log_prob.batched_value_and_grad = _finish_batched_vg(
         vg_core, theta_full0, unfrozen, lo, hi, log_prior
     )
+    log_prob.engine = "pallas_dense"
