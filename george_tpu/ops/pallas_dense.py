@@ -678,12 +678,25 @@ def make_dense_batched_vg(node, x, y, yerr2, n_mean, n_wn, active,
              jnp.zeros((b_pad - B, d_full), jnp.float32)], axis=0
         ).T                                               # (D, b_pad)
 
+        # Under shard_map with vma checking (the chain-sharded sampler
+        # path) the outputs inherit the chain batch's varying-axes type,
+        # and the baked data boards must be promoted to the same type: the
+        # interpret-mode evaluator type-checks every in-kernel op, and
+        # mixing an invariant board with varying parameters is a vma error.
+        vma = jax.typeof(theta_full_b).vma
+        xr_in, y_in, v_in = (
+            (jax.lax.pcast(a, tuple(sorted(vma)), to="varying")
+             for a in (xr_dev, y_dev, v_dev))
+            if vma else (xr_dev, y_dev, v_dev)
+        )
         ll, grad = pl.pallas_call(
             kernel,
             grid=(grid,),
             out_shape=(
-                jax.ShapeDtypeStruct((grid, _T, _LANES), jnp.float32),
-                jax.ShapeDtypeStruct((grid, n_act, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, _T, _LANES), jnp.float32,
+                                     vma=vma),
+                jax.ShapeDtypeStruct((grid, n_act, _LANES), jnp.float32,
+                                     vma=vma),
             ),
             in_specs=[
                 pl.BlockSpec((d_full, _LANES), lambda i: (0, i),
@@ -714,7 +727,7 @@ def make_dense_batched_vg(node, x, y, yerr2, n_mean, n_wn, active,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(th, xr_dev, y_dev, v_dev)
+        )(th, xr_in, y_in, v_in)
 
         ll = ll[:, 0, :].reshape(b_pad)[:B]
         grad = jnp.moveaxis(grad, 1, 0).reshape(n_act, b_pad)[:, :B].T

@@ -360,8 +360,18 @@ def make_kalman_vg(node, t, y, yerr2, n_mean, n_wn, active,
         scalar_tiles = [tiles[i] for i in range(n_scalar)]
         th_k_tiles = tiles[n_scalar:]
 
-        shp = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
-        jac_shp = jax.ShapeDtypeStruct((n_act, rows, _LANES), jnp.float32)
+        # Under shard_map with vma checking (the chain-sharded sampler
+        # path) the outputs inherit the chain batch's varying-axes type,
+        # and the baked series must be promoted to the same type (the
+        # interpret-mode evaluator type-checks every in-kernel op).
+        vma = jax.typeof(theta_full_b).vma
+        extras = [
+            jax.lax.pcast(a, tuple(sorted(vma)), to="varying")
+            for a in extra_in
+        ] if vma else extra_in
+        shp = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32, vma=vma)
+        jac_shp = jax.ShapeDtypeStruct((n_act, rows, _LANES), jnp.float32,
+                                       vma=vma)
         out, jac = pl.pallas_call(
             kernel,
             out_shape=(shp, jac_shp),
@@ -373,7 +383,7 @@ def make_kalman_vg(node, t, y, yerr2, n_mean, n_wn, active,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
             scratch_shapes=scratch,
             interpret=interpret,
-        )(*scalar_tiles, th_k_tiles, *extra_in)
+        )(*scalar_tiles, th_k_tiles, *extras)
 
         ll = out.reshape(b_pad)[:B]
         grad = jac.reshape(n_act, b_pad)[:, :B].T

@@ -199,7 +199,8 @@ def make_sharded_gp_log_prob_factory(gp, x, y, yerr=0.0, data_axis="data",
 
 
 def run_mcmc_sharded(log_prob_factory, data, z0, key, mesh,
-                     chain_axis="chains", data_axis=None, **mcmc_kwargs):
+                     chain_axis="chains", data_axis=None, check_vma=True,
+                     **mcmc_kwargs):
     """Chain-sharded (optionally data-sharded) MCMC over a mesh.
 
     :param log_prob_factory: either a plain ``log_prob`` function (when
@@ -210,6 +211,15 @@ def run_mcmc_sharded(log_prob_factory, data, z0, key, mesh,
         over ``data_axis`` (or None).
     :param z0: (chains, dim) global initial positions; chains must divide
         the ``chain_axis`` size.
+    :param check_vma: keep shard_map's varying-manual-axes discipline on
+        (the default; it is what proves collective transposes — and hence
+        data-sharded gradients — correct).  Set False only for
+        *interpret-mode* Pallas engines on a CPU mesh: the interpreter
+        replays the kernel jaxpr op by op, where in-kernel constants are
+        vma-invariant and every mixed op is rejected; the compiled Mosaic
+        path does not have this problem (the kernel body is opaque to the
+        vma checker and the call's out_shapes carry the chain batch's
+        varying type).
     """
     z0 = jnp.asarray(z0)
     num_chains, dim = z0.shape
@@ -254,10 +264,10 @@ def run_mcmc_sharded(log_prob_factory, data, z0, key, mesh,
         mesh=mesh,
         in_specs=(P(chain_axis), P()) + data_spec,
         out_specs=out_specs,
-        # vma tracking ON: it is what guarantees collective transposes (and
-        # therefore the per-chain gradients inside the sampler) are correct
-        # when the likelihood itself is data-sharded.
-        check_vma=True,
+        # vma tracking ON by default: it is what guarantees collective
+        # transposes (and therefore the per-chain gradients inside the
+        # sampler) are correct when the likelihood itself is data-sharded.
+        check_vma=check_vma,
     )
     return jax.jit(fn)(z0, jnp.asarray(key), *data)
 
