@@ -97,10 +97,17 @@ def main():
         # trajectories' natural length is ~9 leapfrogs (p99 = 15), so a
         # deeper cap only inflates the batch-max the masked while_loop
         # pays (depth 6 halved ESS/s; see BENCH_NOTES.md).
+        # NUTS samples in large blocks: the trajectory-persistent loop
+        # amortizes the lockstep tail across a whole block, so small
+        # blocks forfeit most of the win (block executions stay ~seconds,
+        # well inside the tunneled backend's limits).
+        blk = block if algo != "nuts" else int(
+            os.environ.get("BENCH_NUTS_BLOCK", 300)
+        )
         opts = dict(num_warmup=warmup, num_samples=samples,
                     max_depth=int(os.environ.get("BENCH_MAX_DEPTH", 4)),
-                    block_size=block, progress=progress,
-                    algorithm=algo)
+                    block_size=blk, warmup_block_size=block,
+                    progress=progress, algorithm=algo)
         if algo == "chees":
             # num_leapfrog is the per-iteration cap for ChEES trajectories.
             opts["num_leapfrog"] = int(
@@ -108,8 +115,10 @@ def main():
             )
         z = z0[:chains]
         t_compile = time.time()
+        # The pre-leg compiles every program shape the measured run uses:
+        # warmup blocks of `block` and sampling blocks of `blk`.
         run_mcmc(log_prob, z, key, **dict(opts, num_warmup=block,
-                                          num_samples=block))
+                                          num_samples=blk))
         t_compile = time.time() - t_compile
         t0 = time.time()
         res = run_mcmc(log_prob, z, jax.random.PRNGKey(seed), **opts)

@@ -26,6 +26,9 @@ def main():
     parser.add_argument("--chains", type=int, default=4096)
     parser.add_argument("--reps", type=int, default=10)
     parser.add_argument("--skip-xla", action="store_true")
+    parser.add_argument("--engine", choices=["vpu", "mxu"], default="vpu",
+                        help="vpu = chains-on-lanes pallas_dense kernel; "
+                             "mxu = per-chain-matrix dense_mxu hybrid")
     args = parser.parse_args()
 
     import jax
@@ -55,7 +58,12 @@ def main():
         np.tile(kv, (B, 1)) + 0.2 * rng.standard_normal((B, len(kv))),
     ], axis=1).astype(np.float32))
 
-    vg = pd.make_dense_batched_vg(node, x, y, yerr2, 1, 1, active)
+    if args.engine == "mxu":
+        from george_tpu.ops import dense_mxu as pdm
+
+        vg = pdm.make_dense_mxu_vg(node, x, y, yerr2, 1, 1, active)
+    else:
+        vg = pd.make_dense_batched_vg(node, x, y, yerr2, 1, 1, active)
 
     def rep_time(fn):
         @jax.jit
@@ -69,7 +77,7 @@ def main():
         f(jnp.float32(0)).block_until_ready()
         return timeit(f, jnp.float32(0), repeats=3) / REP
 
-    out = {"n": N, "chains": B,
+    out = {"n": N, "chains": B, "engine": args.engine,
            "pallas_ms": round(rep_time(vg) * 1e3, 2)}
 
     if not args.skip_xla:

@@ -21,11 +21,20 @@ pallas_min_elements = 1 << 20
 #   "never"  — scan path only.
 pallas_kalman = "auto"
 
-# The fused Pallas batched dense value+gradient kernel (ops/pallas_dense.py)
-# for multi-dim / no-state-space posteriors at N <= 256 (the "thousands of
-# chains x small-N Cholesky" shape). Same tri-state semantics as
-# `pallas_kalman`.
+# The fused Pallas batched dense value+gradient engines for multi-dim /
+# no-state-space posteriors (the "thousands of chains x small-N Cholesky"
+# shape). Same tri-state semantics as `pallas_kalman`; the knob gates BOTH:
+#   * the chains-on-lanes VPU kernel (ops/pallas_dense.py) — N below
+#     `dense_mxu_min_n`, metric types 0/1;
+#   * the MXU per-chain-matrix hybrid (ops/dense_mxu.py) — N up to 512,
+#     every metric type (batched Schur-panel matmuls + a Pallas spine for
+#     the 128-wide diagonal blocks).
 pallas_dense = "auto"
+
+# N at and above which the dense sampler path prefers the MXU hybrid over
+# the VPU lanes kernel.  129 = the measured crossover (the VPU kernel wins
+# in its unrolled N <= 128 regime); benchmarks set 0 to force the MXU path.
+dense_mxu_min_n = 129
 
 # Emit a one-line warning (logging.getLogger("george_tpu")) when a sampler
 # posterior falls OUT of a fused-kernel envelope and silently lands on the

@@ -385,13 +385,21 @@ def _engine_note(reason, what="dense sampler path: falling back to the "
 
 def _attach_pallas_dense_vg(log_prob, gp, node, x_host, y_host, yerr2,
                             theta_full0, unfrozen, lo, hi, log_prior):
-    """Attach the fused Pallas *dense* value+gradient kernel when it
-    applies (see :mod:`george_tpu.ops.pallas_dense`): N <= 256, metric
-    types 0/1, mean and white-noise scalar-or-baked.  This is the config-#5
-    hot path — thousands of chains x small-N Cholesky for kernels with no
-    state-space form."""
+    """Attach a fused batched dense value+gradient engine when one applies.
+    This is the config-#5 hot path — thousands of chains x small-N Cholesky
+    for kernels with no state-space form.  Two engines:
+
+      * the chains-on-lanes VPU kernel (:mod:`george_tpu.ops.pallas_dense`)
+        for N below ``config.dense_mxu_min_n`` and metric types 0/1;
+      * the MXU per-chain-matrix hybrid (:mod:`george_tpu.ops.dense_mxu`)
+        for N up to 512, any metric type (batched Schur-panel matmuls +
+        the Pallas 128-block spine).
+
+    Both require mean and white-noise scalar-or-baked.
+    """
     from .. import config
     from ..ops import pallas_dense as pdz
+    from ..ops import dense_mxu as pdm
 
     mode = getattr(config, "pallas_dense", "auto")
     if mode == "never":
@@ -399,13 +407,11 @@ def _attach_pallas_dense_vg(log_prob, gp, node, x_host, y_host, yerr2,
     interpret = mode == "always" and jax.default_backend() != "tpu"
     if not (pdz.pallas_dense_available() or interpret):
         return
-    if not pdz.supports_pallas_dense(node, len(x_host)):
-        _engine_note(
-            "N={0} > {1} or a general-metric leaf".format(
-                len(x_host), pdz.MAX_N
-            ) if len(x_host) > pdz.MAX_N
-            else "a stationary leaf uses a general (dense) metric"
-        )
+    n = len(x_host)
+    min_mxu = getattr(config, "dense_mxu_min_n", 129)
+    use_vpu = n < min_mxu and pdz.supports_pallas_dense(node, n)
+    if not use_vpu and not pdm.supports_dense_mxu(node, n):
+        _engine_note("N={0} > {1}".format(n, pdm.MXU_MAX_N))
         return
 
     n_mean, y_eff = _scalar_or_baked(
@@ -429,11 +435,19 @@ def _attach_pallas_dense_vg(log_prob, gp, node, x_host, y_host, yerr2,
         return
     # Frozen scalar mean / white-noise models stay in the full vector (the
     # kernel reads them from theta), so n_mean/n_wn stay 1 even if frozen.
-    vg_core = pdz.make_dense_batched_vg(
-        node, x_host, y_eff, v_eff, n_mean, n_wn, active,
-        interpret=interpret,
-    )
+    if use_vpu:
+        vg_core = pdz.make_dense_batched_vg(
+            node, x_host, y_eff, v_eff, n_mean, n_wn, active,
+            interpret=interpret,
+        )
+        engine = "pallas_dense"
+    else:
+        vg_core = pdm.make_dense_mxu_vg(
+            node, x_host, y_eff, v_eff, n_mean, n_wn, active,
+            interpret=interpret,
+        )
+        engine = "dense_mxu"
     log_prob.batched_value_and_grad = _finish_batched_vg(
         vg_core, theta_full0, unfrozen, lo, hi, log_prior
     )
-    log_prob.engine = "pallas_dense"
+    log_prob.engine = engine

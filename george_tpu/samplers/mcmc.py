@@ -80,6 +80,12 @@ class _Pieces(NamedTuple):
     draw_step: object    # (carry, _, eps, inv_mass, extra) -> (carry, outs)
     schedule: tuple      # (in_window, window_end) numpy arrays
     extra_init: object   # eps0 -> algorithm-specific warmup state (or ())
+    # Optional batch sampler: (carry, n, eps, inv_mass, extra) ->
+    # (carry, outs) with outs already (chains, n, ...)-shaped — used by
+    # trajectory-persistent NUTS, where the n-draw loop must live INSIDE
+    # the traced function (one leapfrog per device iteration across
+    # transition boundaries) rather than as a scan over transitions.
+    draw_many: object = None
 
 
 def _mass_window_update(da, welford, inv_mass, states, in_win, win_end,
@@ -149,7 +155,8 @@ def _fuse_batched_vg(scalar_vg, batched_vg):
 
 def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
                   algorithm, target_accept, max_depth, num_leapfrog,
-                  dense_mass, axis_name, adapt_mass, sync_every=8):
+                  dense_mass, axis_name, adapt_mass, sync_every=8,
+                  persistent=True):
     vg = jax.value_and_grad(log_prob)
     batched_vg = getattr(log_prob, "batched_value_and_grad", None)
 
@@ -163,10 +170,51 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
     if batched_vg is not None:
         vg = _fuse_batched_vg(vg, batched_vg)
 
+    draw_many = None
     if algorithm == "nuts":
         def kernel(key, state, eps, inv_mass):
             return nuts_step(key, state, vg, eps, inv_mass,
                              max_depth=max_depth)
+
+        if persistent:
+            from .nuts import nuts_draws_persistent
+
+            # At 16384 chains the compiled persistent loop produces
+            # corrupted U-turn decisions on TPU (trajectories truncate to
+            # odd leapfrog counts at subtree merges; 8192 and below are
+            # bit-healthy, CPU is clean at every size — an XLA codegen
+            # issue in the select-heavy while+scan at that batch size,
+            # BENCH_NOTES.md round 4).  Chains are independent, so larger
+            # batches run as sequential sub-batches — statistically
+            # identical, and each sub-batch still amortizes its own tail.
+            max_batch = 8192
+
+            def draw_many(carry, n, eps, inv_mass, extra):
+                states, key = carry
+                typed = jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+                if key.ndim == (1 if typed else 2):
+                    step_keys = key          # continued block: per-chain
+                else:
+                    _, sub = jax.random.split(key)
+                    step_keys = jax.random.split(sub, num_chains)
+                parts = []
+                for lo in range(0, num_chains, max_batch):
+                    hi = min(lo + max_batch, num_chains)
+                    sub_states = jax.tree_util.tree_map(
+                        lambda a: a[lo:hi], states
+                    )
+                    parts.append(nuts_draws_persistent(
+                        step_keys[lo:hi], sub_states, vg, eps, inv_mass,
+                        n, max_depth=max_depth,
+                    ))
+                states = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs), *[p[0] for p in parts]
+                )
+                out_keys = jnp.concatenate([p[1] for p in parts])
+                bufs = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs), *[p[2] for p in parts]
+                )
+                return (states, out_keys), bufs
     elif algorithm == "hmc":
         def kernel(key, state, eps, inv_mass):
             return hmc_step(key, state, vg, eps, inv_mass,
@@ -225,7 +273,7 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
 
     schedule = adapt.build_schedule(num_warmup)
     return _Pieces(chain_init, init_step_size, warm_step, draw_step,
-                   schedule, lambda eps0: ())
+                   schedule, lambda eps0: (), draw_many=draw_many)
 
 
 def _build_chees_pieces(vg, num_chains, dim, dtype, num_warmup,
@@ -306,18 +354,26 @@ def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
                    num_samples=500, algorithm="nuts", target_accept=None,
                    max_depth=10, num_leapfrog=32, dense_mass=False,
                    step_size=None, axis_name=None, adapt_mass=True,
-                   sync_every=8):
+                   sync_every=8, persistent=True):
     """Build the traceable single-program ``core(z0, key)``.
 
     Wrap in ``jit`` (as :func:`run_mcmc` does) or in ``shard_map`` over a
     chain-sharded mesh (:func:`george_tpu.parallel.run_mcmc_sharded`,
     passing ``axis_name`` so adaptation pools across devices).
+
+    ``persistent`` (NUTS only, default on): run the sampling phase as ONE
+    trajectory-persistent device loop — a chain whose trajectory U-turns
+    starts its next transition in the same iteration instead of idling
+    until the batch's longest trajectory finishes (the per-draw lockstep
+    tail measured at ~40% of NUTS step time, BENCH_NOTES.md).  Warmup
+    keeps the per-transition structure either way (cross-chain adaptation
+    pooling needs transition lockstep).
     """
     target_accept = _default_target(algorithm, target_accept)
     pieces = _build_pieces(
         log_prob, num_chains, dim, dtype, num_warmup, algorithm,
         target_accept, max_depth, num_leapfrog, dense_mass, axis_name,
-        adapt_mass, sync_every=sync_every,
+        adapt_mass, sync_every=sync_every, persistent=persistent,
     )
     in_window = jnp.asarray(pieces.schedule[0])
     window_end = jnp.asarray(pieces.schedule[1])
@@ -363,6 +419,12 @@ def make_mcmc_core(log_prob, num_chains, dim, dtype, num_warmup=500,
             eps = jax.lax.pmean(eps, axis_name)
             extra = _pmean_tree(extra, axis_name)
 
+        if pieces.draw_many is not None:
+            _, outs = pieces.draw_many(
+                (states, key_main), num_samples, eps, inv_mass, extra
+            )
+            return _pack_result(outs, eps, inv_mass, stacked_first=None)
+
         def draw(carry, _):
             return pieces.draw_step(carry, _, eps, inv_mass, extra)
 
@@ -384,8 +446,12 @@ def _default_target(algorithm, target_accept):
 
 def _pack_result(outs, eps, inv_mass, stacked_first):
     zs, logps, accs, divs, nleap = outs
-    swap = (lambda a: jnp.swapaxes(a, 0, 1)) if stacked_first \
-        else (lambda a: np.swapaxes(a, 0, 1))
+    if stacked_first is None:        # already (chains, samples, ...)
+        swap = lambda a: a
+    elif stacked_first:
+        swap = lambda a: jnp.swapaxes(a, 0, 1)
+    else:
+        swap = lambda a: np.swapaxes(a, 0, 1)
     return MCMCResult(
         samples=swap(zs),
         log_prob=swap(logps),
@@ -398,7 +464,8 @@ def _pack_result(outs, eps, inv_mass, stacked_first):
 
 
 def _run_blocked(pieces, z0, key, num_warmup, num_samples, block_size,
-                 step_size, dense_mass, dim, dtype, progress=None):
+                 step_size, dense_mass, dim, dtype, progress=None,
+                 warmup_block_size=None):
     """Host-orchestrated execution in bounded jitted segments."""
     in_window, window_end = pieces.schedule
     init_inv_mass = (
@@ -423,9 +490,10 @@ def _run_blocked(pieces, z0, key, num_warmup, num_samples, block_size,
     da = adapt.da_init(eps0)
     welford = adapt.welford_init(dim, dense=dense_mass, dtype=dtype)
     extra = pieces.extra_init(eps0)
+    wblock = warmup_block_size or block_size
     carry = (states, da, welford, init_inv_mass, extra, key_warm)
-    for start in range(0, num_warmup, block_size):
-        stop = min(start + block_size, num_warmup)
+    for start in range(0, num_warmup, wblock):
+        stop = min(start + wblock, num_warmup)
         flags = (jnp.asarray(in_window[start:stop]),
                  jnp.asarray(window_end[start:stop]),
                  jnp.arange(start, stop, dtype=jnp.int32))
@@ -438,8 +506,12 @@ def _run_blocked(pieces, z0, key, num_warmup, num_samples, block_size,
 
     from functools import partial
 
+    many = pieces.draw_many is not None
+
     @partial(jax.jit, static_argnums=(4,))
     def draw_block(carry, eps, inv_mass, extra, n):
+        if many:
+            return pieces.draw_many(carry, n, eps, inv_mass, extra)
         return jax.lax.scan(
             lambda c, _: pieces.draw_step(c, _, eps, inv_mass, extra),
             carry, None, length=n,
@@ -456,16 +528,18 @@ def _run_blocked(pieces, z0, key, num_warmup, num_samples, block_size,
         if progress:
             progress("sampling", done, num_samples)
     outs = tuple(
-        np.concatenate([c[i] for c in collected], axis=0)
+        np.concatenate([c[i] for c in collected], axis=1 if many else 0)
         for i in range(5)
     )
-    return _pack_result(outs, eps, inv_mass, stacked_first=False)
+    return _pack_result(outs, eps, inv_mass,
+                        stacked_first=None if many else False)
 
 
 def run_mcmc(log_prob, z0, key, num_warmup=500, num_samples=500,
              algorithm="nuts", target_accept=None, max_depth=10,
              num_leapfrog=32, dense_mass=False, step_size=None,
-             adapt_mass=True, block_size=None, progress=None):
+             adapt_mass=True, block_size=None, progress=None,
+             persistent=True, warmup_block_size=None):
     """Run warmup + sampling for a batch of chains on one device.
 
     :param log_prob: traceable scalar density of one parameter vector.
@@ -479,6 +553,13 @@ def run_mcmc(log_prob, z0, key, num_warmup=500, num_samples=500,
         ``target_accept`` defaults to 0.651).
     :param block_size: if set, execute in host-driven segments of this many
         transitions (bounded device executions; progress callbacks).
+    :param persistent: NUTS only (default on) — trajectory-persistent
+        sampling: chains start their next transition the moment their
+        trajectory terminates instead of idling until the batch's longest
+        one, eliminating the per-draw lockstep tail (~40% of step time on
+        the headline bench).  Warmup always keeps per-transition lockstep
+        (cross-chain adaptation pooling).  Set False for the per-draw
+        formulation (identical posterior; different RNG consumption).
     :returns: :class:`MCMCResult` with per-chain draws and diagnostics.
 
     For multi-device chain sharding use
@@ -493,6 +574,7 @@ def run_mcmc(log_prob, z0, key, num_warmup=500, num_samples=500,
             target_accept=target_accept, max_depth=max_depth,
             num_leapfrog=num_leapfrog, dense_mass=dense_mass,
             step_size=step_size, adapt_mass=adapt_mass,
+            persistent=persistent,
         )
         return jax.jit(core)(z0, jnp.asarray(key))
 
@@ -500,8 +582,10 @@ def run_mcmc(log_prob, z0, key, num_warmup=500, num_samples=500,
         log_prob, num_chains, dim, z0.dtype, num_warmup, algorithm,
         _default_target(algorithm, target_accept), max_depth,
         num_leapfrog, dense_mass, None, adapt_mass,
+        persistent=persistent,
     )
     return _run_blocked(
         pieces, z0, jnp.asarray(key), num_warmup, num_samples, block_size,
         step_size, dense_mass, dim, z0.dtype, progress=progress,
+        warmup_block_size=warmup_block_size,
     )

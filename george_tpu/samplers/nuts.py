@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from .hmc import HMCState, kinetic_energy, sample_momentum, velocity, \
     leapfrog_one
 
-__all__ = ["nuts_step", "NUTSInfo"]
+__all__ = ["nuts_step", "nuts_draws_persistent", "NUTSInfo"]
 
 
 class NUTSInfo(NamedTuple):
@@ -51,6 +51,8 @@ def _popcount(n):
 
 
 class _State(NamedTuple):
+    # Per-transition energy origin (set at transition init).
+    energy0: jnp.ndarray
     # Committed trajectory.
     z_left: jnp.ndarray
     r_left: jnp.ndarray
@@ -89,19 +91,14 @@ class _State(NamedTuple):
     key: jnp.ndarray
 
 
-def nuts_step(key, state, value_and_grad, step_size, inv_mass,
-              max_depth=10, divergence_threshold=1000.0):
-    """One NUTS transition.  ``state`` is an :class:`hmc.HMCState`."""
-    dtype = state.z.dtype
-    dim = state.z.shape[0]
+def _init_transition(key, state, inv_mass, max_depth, dtype, dim):
+    """Fresh :class:`_State` for one NUTS transition from ``state``."""
     key, key_r = jax.random.split(key)
     r0 = sample_momentum(key_r, inv_mass, state.z.shape, dtype)
     energy0 = -state.logp + kinetic_energy(r0, inv_mass)
 
-    def select(pred, a, b):
-        return jnp.where(pred, a, b)
-
-    st = _State(
+    return _State(
+        energy0=energy0,
         z_left=state.z, r_left=r0, grad_left=state.grad,
         logp_left=state.logp,
         z_right=state.z, r_right=r0, grad_right=state.grad,
@@ -125,6 +122,14 @@ def nuts_step(key, state, value_and_grad, step_size, inv_mass,
         n_leaves=jnp.zeros((), jnp.int32),
         key=key,
     )
+
+
+def _make_body(value_and_grad, step_size, inv_mass, max_depth,
+               divergence_threshold, dtype, dim):
+    """The one-leapfrog-per-iteration transition body (see module docs)."""
+
+    def select(pred, a, b):
+        return jnp.where(pred, a, b)
 
     def is_turning(r_a, r_b, rho):
         v_a = velocity(r_a, inv_mass)
@@ -158,7 +163,7 @@ def nuts_step(key, state, value_and_grad, step_size, inv_mass,
             direction * step_size, inv_mass,
         )
         energy = -logp_new + kinetic_energy(r_new, inv_mass)
-        delta = energy0 - energy
+        delta = st.energy0 - energy
         delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
         diverging = (-delta) > divergence_threshold
 
@@ -229,6 +234,7 @@ def nuts_step(key, state, value_and_grad, step_size, inv_mass,
             | (merge & (depth >= max_depth))
 
         return _State(
+            energy0=st.energy0,
             z_left=z_left, r_left=r_left, grad_left=grad_left,
             logp_left=logp_left,
             z_right=z_right, r_right=r_right, grad_right=grad_right,
@@ -248,6 +254,18 @@ def nuts_step(key, state, value_and_grad, step_size, inv_mass,
             key=key,
         )
 
+    return body
+
+
+def nuts_step(key, state, value_and_grad, step_size, inv_mass,
+              max_depth=10, divergence_threshold=1000.0):
+    """One NUTS transition.  ``state`` is an :class:`hmc.HMCState`."""
+    dtype = state.z.dtype
+    dim = state.z.shape[0]
+    st = _init_transition(key, state, inv_mass, max_depth, dtype, dim)
+    body = _make_body(value_and_grad, step_size, inv_mass, max_depth,
+                      divergence_threshold, dtype, dim)
+
     from .._vma import pvary_like
 
     # shard_map vma discipline: the zero-initialized counters/flags must be
@@ -265,3 +283,121 @@ def nuts_step(key, state, value_and_grad, step_size, inv_mass,
         n_leapfrog=st.n_leaves,
     )
     return new_state, info
+
+
+def nuts_draws_persistent(keys, states, value_and_grad, step_size,
+                          inv_mass, num_draws, max_depth=10,
+                          divergence_threshold=1000.0):
+    """``num_draws`` NUTS transitions in ONE trajectory-persistent loop.
+
+    The per-draw formulation pays the batch-MAX trajectory length every
+    draw under ``vmap``: the masked ``while_loop`` in :func:`nuts_step`
+    runs until the longest chain's U-turn (measured on the headline bench:
+    p99 = 15 leapfrogs paid for a 9.2 mean — ~40% of step time was
+    lockstep tail, BENCH_NOTES.md round 3).  Here the loop is persistent
+    across transitions: the moment a chain's trajectory terminates, its
+    draw is recorded and the SAME device-loop iteration starts its next
+    transition, so chains never idle waiting for the batch — the tail is
+    paid once at the very end of the run instead of once per draw.
+
+    Fixed ``step_size``/``inv_mass`` only (the sampling phase; warmup
+    keeps the per-draw structure so cross-chain adaptation pooling stays
+    in lockstep).  BATCH-level function: ``keys`` is ``(chains,)`` and
+    ``states`` a chain-batched :class:`hmc.HMCState` — the transition
+    body is vmapped internally so that the emit scan below stacks its
+    outputs time-major (vmapping the whole loop instead puts the chain
+    axis innermost and every per-iteration emit becomes a strided write —
+    measured at ~3x the total sampling time).  The fused batched
+    value_and_grad seam applies as usual.
+
+    Returns ``(final HMCState, final keys, outs)`` with ``outs`` a tuple
+    of ``(z (chains, num_draws, dim), logp, accept_prob, diverging,
+    n_leapfrog)``.  Restarting from ``(final HMCState, final keys)``
+    continues the exact stream: chains freeze at their quota on a
+    committed draw (no partial next trajectory), so blocked execution
+    reproduces the fused run bitwise.
+    """
+    dtype = states.z.dtype
+    nchains, dim = states.z.shape
+    body1 = _make_body(value_and_grad, step_size, inv_mass, max_depth,
+                       divergence_threshold, dtype, dim)
+
+    def per_chain_step(st, frozen):
+        fresh = _init_transition(
+            st.key, HMCState(st.z_prop, st.logp_prop, st.grad_prop),
+            inv_mass, max_depth, dtype, dim,
+        )
+        st_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(st.done, a, b), fresh, st
+        )
+        st_new = body1(st_new)
+        # Chains that reached their quota freeze on their last committed
+        # draw, so the exit state continues the stream bitwise.
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(frozen, b, a), st_new, st
+        )
+
+    v_step = jax.vmap(per_chain_step)
+    st0 = jax.vmap(
+        _init_transition, in_axes=(0, 0, None, None, None, None)
+    )(keys, states, inv_mass, max_depth, dtype, dim)
+
+    bufs0 = (
+        jnp.zeros((nchains, num_draws, dim), dtype),   # z
+        jnp.zeros((nchains, num_draws), dtype),        # logp
+        jnp.zeros((nchains, num_draws), dtype),        # accept_prob
+        jnp.zeros((nchains, num_draws), bool),         # diverging
+        jnp.zeros((nchains, num_draws), jnp.int32),    # n_leapfrog
+    )
+
+    # Per-iteration scattered writes into the draw buffers were measured
+    # at ~12x the cost of the leapfrog itself (XLA lowers a batched
+    # .at[idx].set to a serializing scatter).  Instead the loop runs in
+    # SEGments of a fixed-length inner scan that merely EMITS
+    # (rec, draw) rows — time-major contiguous writes — and one
+    # amortized batched scatter per segment compacts them into the
+    # buffers.
+    seg = int(min(128, max(32, num_draws * 2)))
+
+    def seg_step(carry, _):
+        st, idx = carry                                # idx: (chains,)
+        frozen = idx >= num_draws
+        st = v_step(st, frozen)
+        rec = st.done & ~frozen
+        n = jnp.maximum(st.n_leaves, 1)
+        out = (rec, st.z_prop, st.logp_prop, st.sum_accept / n,
+               st.diverging, st.n_leaves)
+        return (st, idx + rec.astype(jnp.int32)), out
+
+    def cond(carry):
+        _, idx, _ = carry
+        return jnp.any(idx < num_draws)
+
+    chain_ix = jnp.arange(nchains)[None, :]
+
+    def body(carry):
+        st, idx, bufs = carry
+        (st, idx_new), outs = jax.lax.scan(
+            seg_step, (st, idx), None, length=seg
+        )
+        recs = outs[0]                                 # (seg, chains)
+        # Target slot per emitted row; non-recorded rows land out of
+        # range and are dropped by the scatter.
+        slots = jnp.where(
+            recs,
+            idx[None, :] + jnp.cumsum(recs.astype(jnp.int32), axis=0) - 1,
+            num_draws,
+        )
+        bufs = tuple(
+            buf.at[chain_ix, slots].set(v, mode="drop")
+            for buf, v in zip(bufs, outs[1:])
+        )
+        return st, idx_new, bufs
+
+    from .._vma import pvary_like
+
+    st0 = pvary_like(st0, st0, keys, step_size, inv_mass)
+    carry = (st0, jnp.zeros((nchains,), jnp.int32), bufs0)
+    carry = pvary_like(carry, carry)
+    st, _, bufs = jax.lax.while_loop(cond, body, carry)
+    return HMCState(st.z_prop, st.logp_prop, st.grad_prop), st.key, bufs

@@ -110,16 +110,17 @@ def test_batched_vg_frozen_and_padding(pallas_dense_always):
 
 def test_not_attached_when_unsupported(pallas_dense_always):
     x, y, yerr = _dataset(n=20, d=2)
-    # General (full SPD) metric -> no lanes-batched form -> no attach.
+    # General (full SPD) metric -> no lanes-batched form -> the MXU hybrid
+    # takes it instead (its XLA build supports every metric type).
     gp = george.GP(1.0 * kernels.ExpSquaredKernel(
         metric=[[1.0, 0.1], [0.1, 2.0]], ndim=2
     ))
     log_prob, _ = build_gp_log_prob(gp, x, y, yerr, method="dense")
-    assert not hasattr(log_prob, "batched_value_and_grad")
+    assert log_prob.engine == "dense_mxu"
 
-    # N > MAX_N -> no attach.
-    from george_tpu.ops.pallas_dense import MAX_N
-    x2, y2, yerr2 = _dataset(n=MAX_N + 12)
+    # N > the MXU envelope -> no attach at all.
+    from george_tpu.ops.dense_mxu import MXU_MAX_N
+    x2, y2, yerr2 = _dataset(n=MXU_MAX_N + 12)
     gp2 = _config5_gp()
     log_prob2, _ = build_gp_log_prob(gp2, x2, y2, yerr2, method="dense")
     assert not hasattr(log_prob2, "batched_value_and_grad")
@@ -216,10 +217,10 @@ def test_fallback_logging_out_of_envelope(caplog):
     import george_tpu as george
     from george_tpu import kernels
     from george_tpu.samplers import build_gp_log_prob
-    from george_tpu.ops import pallas_dense as pdz
+    from george_tpu.ops import dense_mxu as pdm
 
     rng = np.random.default_rng(0)
-    N = pdz.MAX_N + 8
+    N = pdm.MXU_MAX_N + 8
     x = rng.uniform(-3, 8, (N, 3))
     y = np.sin(x[:, 0])
     gp = george.GP(

@@ -171,11 +171,9 @@ def test_blocked_cholesky_logdet_matches_native():
     assert delta < 1e-4
 
 
-def test_pallas_dense_vg_n256():
-    # The widened envelope: N=256 (32 MB VMEM working set) runs fused.
-    rng = np.random.default_rng(5)
-    N, d = 256, 3
-    x = rng.uniform(-3, 8, (N, d))
+def _dense_vg_delta(N, engine, chains=128, seed=5):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-3, 8, (N, 3))
     yerr = 0.22 * np.ones(N)
     y = np.sin(x[:, 0]) + yerr * rng.standard_normal(N)
     gp = george.GP(
@@ -185,10 +183,11 @@ def test_pallas_dense_vg_n256():
         mean=0.0, fit_mean=True,
     )
     log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr, method="dense")
-    assert hasattr(log_prob, "batched_value_and_grad")
+    assert log_prob.engine == engine
     thetas = jnp.asarray(
         np.asarray(theta0)[None, :]
-        + 0.2 * rng.standard_normal((128, len(theta0))).astype(np.float32)
+        + 0.2 * rng.standard_normal((chains, len(theta0))
+                                    ).astype(np.float32)
     )
     lp_p, g_p = jax.jit(log_prob.batched_value_and_grad)(thetas)
     config.pallas_dense = "never"
@@ -201,6 +200,38 @@ def test_pallas_dense_vg_n256():
     gs = np.asarray(g_s)
     d_g = float(np.max(np.abs(np.asarray(g_p) - gs))) \
         / max(1.0, float(np.max(np.abs(gs))))
+    return d_lp, d_g
+
+
+def test_pallas_dense_vg_n256():
+    # The VPU chains-on-lanes kernel forced at N=256 (its full envelope).
+    old = config.dense_mxu_min_n
+    config.dense_mxu_min_n = 10 ** 9
+    try:
+        d_lp, d_g = _dense_vg_delta(256, "pallas_dense")
+    finally:
+        config.dense_mxu_min_n = old
     _report("pallas dense vg N=256 (lp)", d_lp)
     _report("pallas dense vg N=256 (grad, rel)", d_g)
     assert d_lp < 0.1 and d_g < 1e-3
+
+
+def test_dense_mxu_vg_n256():
+    # The MXU per-chain-matrix hybrid (the default engine above N=128).
+    # Its explicit blockwise inverse accumulates more f32 error than the
+    # VPU kernel's in-register path — and the f32 XLA oracle itself is not
+    # exact — so the lp tolerance is wider (documented in BENCH_NOTES.md;
+    # the CPU x64-oracle comparison in tests/test_dense_mxu.py pins the
+    # same pipeline at 5e-2).
+    d_lp, d_g = _dense_vg_delta(256, "dense_mxu")
+    _report("dense mxu vg N=256 (lp)", d_lp)
+    _report("dense mxu vg N=256 (grad, rel)", d_g)
+    assert d_lp < 0.5 and d_g < 2e-2
+
+
+def test_dense_mxu_vg_n512():
+    # Beyond the VPU kernel's envelope entirely: N=512, four panels.
+    d_lp, d_g = _dense_vg_delta(512, "dense_mxu", chains=64, seed=7)
+    _report("dense mxu vg N=512 (lp)", d_lp)
+    _report("dense mxu vg N=512 (grad, rel)", d_g)
+    assert d_lp < 1.0 and d_g < 2e-2
