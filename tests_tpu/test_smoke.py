@@ -235,3 +235,58 @@ def test_dense_mxu_vg_n512():
     _report("dense mxu vg N=512 (lp)", d_lp)
     _report("dense mxu vg N=512 (grad, rel)", d_g)
     assert d_lp < 1.0 and d_g < 2e-2
+
+
+def test_f32_conditioning_envelope():
+    # VERDICT r3 weak #7: the f32 conditioning envelope at scale, through
+    # BOTH factorization paths.  A long-lengthscale ExpSquared at N=16k
+    # is numerically low-rank; with a sane noise floor it must factor
+    # (finite ll, native and blocked paths agreeing), and with the noise
+    # floor stripped to f32-meaningless levels the failure must surface
+    # as the quiet -inf contract, not garbage.
+    from george_tpu.ops import linalg
+
+    rng = np.random.default_rng(11)
+    n = 16384
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x)
+
+    gp = george.GP(1.0 * kernels.ExpSquaredKernel(16.0))  # lengthscale 4
+    gp.compute(x, 0.1)                   # noise floor 1e-2 of variance
+    ll = float(gp.log_likelihood(y))
+    assert np.isfinite(ll)
+
+    # Cross-check the two factorizations on the same matrix.
+    node = gp.kernel.spec_node()
+    from george_tpu.dsl import compiler as _c
+
+    K = _c._value_builder(node)(
+        jnp.asarray(gp.kernel.get_parameter_vector(include_frozen=True)),
+        jnp.asarray(x[:, None], jnp.float32),
+        jnp.asarray(x[:, None], jnp.float32),
+    ) + 1e-2 * jnp.eye(n, dtype=jnp.float32)
+    ld_native = 2.0 * jnp.sum(jnp.log(jnp.diagonal(
+        jnp.linalg.cholesky(K)
+    )))
+    ld_blocked = 2.0 * jnp.sum(jnp.log(jnp.diagonal(
+        jax.jit(linalg.blocked_cholesky)(K)
+    )))
+    delta = abs(float(ld_blocked) - float(ld_native)) \
+        / max(1.0, abs(float(ld_native)))
+    _report("f32 ill-conditioned N=16k logdet (blocked vs native, rel)",
+            delta)
+    assert np.isfinite(float(ld_native)) and np.isfinite(float(ld_blocked))
+    assert delta < 1e-3
+
+    # Strip the noise floor: far beyond f32's envelope.  A direct
+    # compute() raises (the reference's eager contract) and a parameter
+    # change surfacing through recompute maps to quiet -inf.
+    gp2 = george.GP(1.0 * kernels.ExpSquaredKernel(16.0),
+                    white_noise=np.log(1e-2), fit_white_noise=True)
+    gp2.compute(x, 0.0)
+    assert np.isfinite(float(gp2.log_likelihood(y)))
+    v = gp2.get_parameter_vector()
+    v[0] = np.log(1e-30)          # white-noise floor -> f32-meaningless
+    gp2.set_parameter_vector(v)
+    ll_bad = float(gp2.log_likelihood(y, quiet=True))
+    assert ll_bad == -np.inf
