@@ -51,8 +51,10 @@ def main():
     # ChEES-HMC is the default: same Matern32 posterior (cross-validated
     # against NUTS within MC error, tests/test_samplers.py), with every
     # chain running the same shared adapted trajectory in lockstep, over
-    # the fused Pallas Kalman value+gradient kernel.  Round-3 run: 206369
-    # ESS/s on one v5e chip; depth-4 NUTS (the secondary leg below) 47342.
+    # the fused Pallas Kalman value+gradient kernel.  Round-3/4 runs:
+    # 206k-216k ESS/s on one v5e chip; depth-4 trajectory-persistent NUTS
+    # (the secondary leg below) 48k-65k (the same leg's wall time swings
+    # 97-131 s with tunnel load — BENCH_NOTES.md round 4).
     # BENCH_ALGO=nuts makes NUTS the headline instead.
     algorithm = os.environ.get("BENCH_ALGO", "chees")
 
@@ -150,8 +152,12 @@ def main():
     # over the same fused Pallas value+gradient kernel (NUTS through the
     # custom_vmap seam in samplers/mcmc.py).
     if algorithm == "chees" and os.environ.get("BENCH_SECONDARY", "nuts"):
+        # 2400 draws: the trajectory-persistent sampling loop runs at its
+        # useful-work floor (57.6 ms/draw = 9.2 mean leapfrogs x 6.5 ms
+        # fused value+gradient, measured round 4), so the leg's ESS/s is
+        # set by how far the ~27 s warmup+dispatch fixed cost amortizes.
         sec = measure("nuts", num_warmup,
-                      int(os.environ.get("BENCH_NUTS_SAMPLES", 1200)),
+                      int(os.environ.get("BENCH_NUTS_SAMPLES", 2400)),
                       num_chains, 2)
         detail["nuts"] = sec
         detail["nuts_ess_per_s"] = round(sec["ess_per_s"], 3)
