@@ -53,8 +53,9 @@ def main():
     # chain running the same shared adapted trajectory in lockstep, over
     # the fused Pallas Kalman value+gradient kernel.  Round-3/4 runs:
     # 206k-216k ESS/s on one v5e chip; depth-4 trajectory-persistent NUTS
-    # (the secondary leg below) 48k-65k (the same leg's wall time swings
-    # 97-131 s with tunnel load — BENCH_NOTES.md round 4).
+    # (the secondary 2400-draw leg below) measured 52.6k-67.1k (the same
+    # leg's wall time swings 97-131 s with tunnel/host load; 48k was the
+    # old 1200-draw figure — BENCH_NOTES.md round 4).
     # BENCH_ALGO=nuts makes NUTS the headline instead.
     algorithm = os.environ.get("BENCH_ALGO", "chees")
 
@@ -94,6 +95,12 @@ def main():
         print("{0} {1}/{2}".format(phase, done, total), file=sys.stderr,
               flush=True)
 
+    def _loadavg():
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return None
+
     def measure(algo, warmup, samples, chains, seed):
         # max_depth=4 measured best for NUTS on this posterior: the
         # trajectories' natural length is ~9 leapfrogs (p99 = 15), so a
@@ -122,12 +129,28 @@ def main():
         run_mcmc(log_prob, z, key, **dict(opts, num_warmup=block,
                                           num_samples=blk))
         t_compile = time.time() - t_compile
+
+        # Per-block timestamps: every sampling block is identical work, so
+        # the per-block wall-time spread directly measures tunnel/host
+        # contention, and best-block extrapolation recovers the
+        # uncontended leg time (the same-leg 97-131 s swings of round 4,
+        # BENCH_NOTES.md "Trajectory-persistent NUTS").
+        events = []
+
+        def progress_timed(phase, done, total):
+            events.append((phase, done, time.time()))
+            progress(phase, done, total)
+
+        load0 = _loadavg()
         t0 = time.time()
-        res = run_mcmc(log_prob, z, jax.random.PRNGKey(seed), **opts)
+        res = run_mcmc(log_prob, z, jax.random.PRNGKey(seed),
+                       **dict(opts, progress=progress_timed))
         np.asarray(res.samples)
         elapsed = time.time() - t0
+        load1 = _loadavg()
         ess = np.asarray(effective_sample_size(res.samples))
-        return {
+
+        out = {
             "ess_per_s": float(ess.min() / elapsed),
             "chains": chains, "warmup": warmup, "samples": samples,
             "seconds": round(elapsed, 2),
@@ -136,7 +159,36 @@ def main():
             "divergence_frac": round(float(res.diverging.mean()), 4),
             "step_size": float(res.step_size),
             "compile_plus_run_seconds": round(t_compile, 1),
+            "host_loadavg": [load0, load1],
         }
+
+        # Contention-robust accounting for the sampling leg.
+        warm_ts = [t for (p, d, t) in events if p == "warmup"]
+        samp_ts = [t for (p, d, t) in events if p == "sampling"]
+        if len(samp_ts) >= 2 and warm_ts:
+            edges = np.asarray([warm_ts[-1]] + samp_ts)
+            blocks = np.diff(edges)
+            wall = float(blocks.sum())
+            best = float(blocks.min() * len(blocks))
+            fixed = elapsed - wall
+            out.update({
+                "sampling_seconds_wall": round(wall, 2),
+                "sampling_seconds_best_block": round(best, 2),
+                "sampling_block_seconds": [round(float(b), 2)
+                                           for b in blocks],
+                "fixed_seconds": round(fixed, 2),
+                "ms_per_draw_best": round(
+                    1e3 * blocks.min() / (samples / len(blocks)), 2
+                ),
+                # What this leg scores with the contention removed from
+                # the (identical-work) sampling blocks: an engine
+                # regression moves THIS number; tunnel/host load moves
+                # only the wall-clock ess_per_s above.
+                "ess_per_s_uncontended": round(
+                    float(ess.min() / (fixed + best)), 1
+                ),
+            })
+        return out
 
     primary = measure(algorithm, num_warmup, num_samples, num_chains, 1)
     detail = {
@@ -152,15 +204,20 @@ def main():
     # over the same fused Pallas value+gradient kernel (NUTS through the
     # custom_vmap seam in samplers/mcmc.py).
     if algorithm == "chees" and os.environ.get("BENCH_SECONDARY", "nuts"):
-        # 2400 draws: the trajectory-persistent sampling loop runs at its
-        # useful-work floor (57.6 ms/draw = 9.2 mean leapfrogs x 6.5 ms
-        # fused value+gradient, measured round 4), so the leg's ESS/s is
-        # set by how far the ~27 s warmup+dispatch fixed cost amortizes.
+        # 3600 draws: the trajectory-persistent sampling loop runs at its
+        # useful-work floor (57.6-59.1 ms/draw = 9.2 mean leapfrogs x
+        # 6.5 ms fused value+gradient, rounds 4-5), so the leg's ESS/s is
+        # set by how far the ~26 s warmup+dispatch fixed cost amortizes
+        # (7% at 3600) and by tunnel stalls — which the per-block
+        # accounting above exposes (`ess_per_s_uncontended`).
         sec = measure("nuts", num_warmup,
-                      int(os.environ.get("BENCH_NUTS_SAMPLES", 2400)),
+                      int(os.environ.get("BENCH_NUTS_SAMPLES", 3600)),
                       num_chains, 2)
         detail["nuts"] = sec
         detail["nuts_ess_per_s"] = round(sec["ess_per_s"], 3)
+        if "ess_per_s_uncontended" in sec:
+            detail["nuts_ess_per_s_uncontended"] = \
+                sec["ess_per_s_uncontended"]
 
     value = primary["ess_per_s"]
     print(json.dumps({

@@ -47,7 +47,8 @@ def main():
     z0 = theta0 + 0.1 * jax.random.normal(key, (64, len(theta0)))
     # block_size keeps each device invocation bounded on tunneled or
     # preemptible backends; identical math and RNG stream.
-    res = run_mcmc(log_prob, z0, key, num_warmup=400, num_samples=400,
+    steps = int(os.environ.get("EX_STEPS", 400))
+    res = run_mcmc(log_prob, z0, key, num_warmup=steps, num_samples=steps,
                    block_size=100)
 
     stats = summary(res.samples)
@@ -62,7 +63,7 @@ def main():
     # (shared adapted trajectory, whole batch in lockstep; ~7x the ESS/s of
     # NUTS on the benchmark config).
     res_c = run_mcmc(log_prob, z0, key, algorithm="chees",
-                     num_warmup=400, num_samples=400, block_size=100)
+                     num_warmup=steps, num_samples=steps, block_size=100)
     stats_c = summary(res_c.samples)
     for i, name in enumerate(names):
         print("[chees] {0:20s} mean={1:+.3f} std={2:.3f} ess={3:.0f}"

@@ -50,7 +50,7 @@ def main():
     assert abs(grad_mu - fd) < 1e-5
 
     # Gradient ascent on the posterior mean finds a local optimum.
-    for _ in range(100):
+    for _ in range(int(os.environ.get("EX_STEPS", 100))):
         g = gp.kernel.get_x1_gradient(t, gp._x)
         t = t + 0.05 * np.einsum("inj,n->j", g, alpha)
     mu = gp.predict(y_obs, t.ravel(), return_cov=False)

@@ -46,7 +46,8 @@ def main():
             - 0.5 * dim * jnp.log(2 * jnp.pi)
 
     key = jax.random.PRNGKey(0)
-    particles0 = theta0 + scale * jax.random.normal(key, (2000, dim))
+    n_particles = int(os.environ.get("EX_PARTICLES", 2000))
+    particles0 = theta0 + scale * jax.random.normal(key, (n_particles, dim))
     # (This run uses the default random-walk mutations; passing
     # mutation="hmc" would swap in gradient-based Metropolis-HMC instead —
     # better decorrelation per step on smooth posteriors.)

@@ -31,7 +31,7 @@ from george_tpu.samplers import build_gp_log_prob
 
 def main():
     rng = np.random.default_rng(42)
-    n = 20000
+    n = int(os.environ.get("EX_N", 20000))
     t = np.sort(rng.uniform(0, 100, n))
     yerr = 0.1 * np.ones(n)
     y = (np.sin(t) + 0.3 * np.cos(3.1 * t)

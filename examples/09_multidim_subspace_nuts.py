@@ -60,7 +60,8 @@ def main():
     z0 = jnp.asarray(theta0)[None, :] + 0.1 * jax.random.normal(
         key, (chains, len(theta0))
     )
-    res = run_mcmc(log_prob, z0, key, num_warmup=200, num_samples=200,
+    steps = int(os.environ.get("EX_STEPS", 200))
+    res = run_mcmc(log_prob, z0, key, num_warmup=steps, num_samples=steps,
                    max_depth=4, block_size=25)
     stats = summary(res.samples)
     names = gp.get_parameter_names()

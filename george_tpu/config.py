@@ -38,5 +38,6 @@ dense_mxu_min_n = 129
 
 # Emit a one-line warning (logging.getLogger("george_tpu")) when a sampler
 # posterior falls OUT of a fused-kernel envelope and silently lands on the
-# slower XLA path (e.g. dense N > 256, general metrics, non-scalar means).
+# slower XLA path (e.g. dense N > 512 — the MXU engine covers every metric
+# type up to there — or non-scalar mean/white-noise models).
 engine_log = True

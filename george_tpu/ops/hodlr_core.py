@@ -47,6 +47,27 @@ __all__ = ["HODLRFactorization", "hodlr_compute", "hodlr_solve",
            "hodlr_dot_solve", "plan_tree"]
 
 
+def _f32jit(fn):
+    """``jax.jit`` with f32-accurate matmuls forced inside the trace.
+
+    TPU's default matmul precision is single-pass bf16; the hierarchical
+    sweeps' Woodbury subtractions amplify that into O(1)-nat noise on the
+    f32 marginal likelihood at N~2k (measured on chip: ll surface std
+    1.6 nats vs 0.16 with float32-accurate matmuls — enough to stall
+    MCMC acceptance).  Every traced program in this module goes through
+    this wrapper; the context is part of the jit trace, so CPU x64 runs
+    are unaffected.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return jax.jit(wrapped)
+
+
 @dataclass
 class HODLRFactorization:
     """Device-side state of a computed HODLR factorization."""
@@ -88,7 +109,7 @@ def _leaf_factor_fn(node):
     padding so that K_pad = [[K, 0], [0, I]] exactly."""
     value = compiler._value_builder(node)
 
-    @jax.jit
+    @_f32jit
     def factor(theta, xb, diagb, validb):
         # xb: (n_leaf, m, d); diagb: (n_leaf, m); validb: (n_leaf, m) bool
         def one(xx, dd, vv):
@@ -122,6 +143,9 @@ def _aca_fn(node, rank):
         dtype = Xl.dtype
         U = jnp.zeros((m, rank), dtype=dtype)
         V = jnp.zeros((m, rank), dtype=dtype)
+        rows = jnp.zeros((rank,), jnp.int32)
+        cols = jnp.zeros((rank,), jnp.int32)
+        pmag = jnp.zeros((rank,), dtype)
         used = ~ml  # padded rows can never be pivots
         # Seed the first pivot row from the largest entry of the first valid
         # column: starting from an arbitrary row risks a pivot that is many
@@ -133,9 +157,11 @@ def _aca_fn(node, rank):
         norm2 = jnp.zeros((), dtype=dtype)
         scale = jnp.maximum(jnp.max(col0), 0.0)  # running block scale
         done = jnp.zeros((), dtype=bool)
+        nk = jnp.zeros((), jnp.int32)
 
         def body(k, carry):
-            U, V, used, i_cur, norm2, scale, done = carry
+            U, V, rows, cols, pmag, nk, used, i_cur, norm2, scale, \
+                done = carry
             # Residual row i_cur of B - U V^T.
             row = value(theta, Xl[i_cur][None, :], Xr)[0]
             row = row * mr - U[i_cur] @ V.T
@@ -160,19 +186,25 @@ def _aca_fn(node, rank):
             done = done | (term <= tol * tol * norm2) | ~ok
             U = U.at[:, k].set(u)
             V = V.at[:, k].set(v)
+            rows = rows.at[k].set(i_cur.astype(jnp.int32))
+            cols = cols.at[k].set(j.astype(jnp.int32))
+            pmag = pmag.at[k].set(jnp.abs(pivot))
+            nk = nk + ok.astype(jnp.int32)
             used = used | (jnp.arange(m) == i_cur)
             scores = jnp.where(used, -jnp.inf, jnp.abs(u))
             i_cur = jnp.argmax(scores)
-            return U, V, used, i_cur, norm2, scale, done
+            return U, V, rows, cols, pmag, nk, used, i_cur, norm2, scale, \
+                done
 
-        U, V, _, _, _, _, done = jax.lax.fori_loop(
-            0, rank, body, (U, V, used, i_cur, norm2, scale, done)
+        U, V, rows, cols, pmag, nk, _, _, _, _, done = jax.lax.fori_loop(
+            0, rank, body,
+            (U, V, rows, cols, pmag, nk, used, i_cur, norm2, scale, done),
         )
         # Not converged within the rank cap: the block's numerical rank
         # exceeds the budget (typical for high-dimensional inputs).
-        return U, V, ~done
+        return U, V, ~done, rows, cols, pmag, nk
 
-    @jax.jit
+    @_f32jit
     def aca(theta, Xl, Xr, ml, mr, tol):
         return jax.vmap(aca_single, in_axes=(None, 0, 0, 0, 0, None))(
             theta, Xl, Xr, ml, mr, tol
@@ -181,7 +213,72 @@ def _aca_fn(node, rank):
     return aca
 
 
-@jax.jit
+@lru_cache(maxsize=None)
+def _aca_fixed_fn(node, rank):
+    """ACA replaying a RECORDED pivot sequence (no argmax, no tolerance).
+
+    With the pivot rows/columns frozen, each node's approximation is a
+    deterministic CUR-style bilinear form of kernel entries at fixed
+    index sets — a SMOOTH function of theta.  The adaptive rule's
+    data-dependent argmax re-selects pivots as theta moves, which makes
+    the f32 likelihood surface jump by O(1) nats between nearby
+    parameter values (measured on chip at N=2048: +-1-20 nats along a
+    0.05-step line) — fatal for MCMC acceptance.  The sampler path
+    therefore records pivots once at the build parameters
+    (``record_pivots=True`` compute) and replays them here.
+    """
+    value = compiler._value_builder(node)
+
+    def fixed_single(theta, Xl, Xr, ml, mr, rows, cols, pmag, nk):
+        m = Xl.shape[0]
+        dtype = Xl.dtype
+        U = jnp.zeros((m, rank), dtype=dtype)
+        V = jnp.zeros((m, rank), dtype=dtype)
+
+        def body(k, carry):
+            U, V = carry
+            i = rows[k]
+            j = cols[k]
+            row = value(theta, Xl[i][None, :], Xr)[0]
+            row = row * mr - U[i] @ V.T
+            pivot = row[j]
+            # Smoothly damped reciprocal: at the recording parameters the
+            # pivot was the row's max entry, but as theta drifts the same
+            # (i, j) entry can pass near zero — a bare 1/pivot there
+            # amplifies f32 elimination noise ~|row|/|pivot|-fold
+            # (measured: 27% divergent NUTS trajectories), while a HARD
+            # relative guard puts value cliffs exactly where trajectories
+            # cross it (measured: cliffs persisted).  Tikhonov damping
+            # pivot/(pivot^2 + delta^2) is ~1/pivot when the pivot is
+            # healthy and rolls the column off CONTINUOUSLY as it
+            # degenerates — the density stays smooth in theta everywhere.
+            # delta comes from the RECORDED pivot magnitude (the block
+            # scale at the build parameters): theta-independent, so the
+            # damping itself adds no roughness, and no runtime reduction
+            # is needed inside the replay loop.  The 1e-20 floor keeps
+            # the quotient 0/0-free when delta^2 underflows.
+            delta = 1e-3 * pmag[k]
+            inv_pivot = pivot / (pivot * pivot + delta * delta + 1e-20)
+            on = (k < nk).astype(row.dtype)
+            col = value(theta, Xl, Xr[j][None, :])[:, 0]
+            col = col * ml - U @ V[j]
+            U = U.at[:, k].set(on * col * inv_pivot)
+            V = V.at[:, k].set(on * row)
+            return U, V
+
+        U, V = jax.lax.fori_loop(0, rank, body, (U, V))
+        return U, V
+
+    @_f32jit
+    def aca(theta, Xl, Xr, ml, mr, rows, cols, pmag, nk):
+        return jax.vmap(
+            fixed_single, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0)
+        )(theta, Xl, Xr, ml, mr, rows, cols, pmag, nk)
+
+    return aca
+
+
+@_f32jit
 def _leaf_solve(leaf_chol, y):
     """Apply blockdiag(leaf)^-1 to a (n_pad, k) matrix."""
     n_leaf, m, _ = leaf_chol.shape
@@ -190,7 +287,7 @@ def _leaf_solve(leaf_chol, y):
     return out.reshape(y.shape)
 
 
-@jax.jit
+@_f32jit
 def _level_couplings(U0, V0, Ut, Vt):
     """S_q = [[I, U^T Ut], [V^T Vt, I]] per node, its LU, and sum log|det|."""
     A = jnp.einsum("nmr,nms->nrs", U0, Ut)
@@ -207,7 +304,7 @@ def _level_couplings(U0, V0, Ut, Vt):
     return (lu, piv), logdet
 
 
-@jax.jit
+@_f32jit
 def _apply_level_inverse(U0, V0, Ut, Vt, S_lu, y):
     """Apply F_q^{-1} = I - X S^{-1} Y^T to a (n_pad, k) matrix.
 
@@ -227,7 +324,7 @@ def _apply_level_inverse(U0, V0, Ut, Vt, S_lu, y):
 
 
 @lru_cache(maxsize=None)
-def _compute_all_fn(node, levels, leaf_size, ranks):
+def _compute_all_fn(node, levels, leaf_size, ranks, pivot_mode="adaptive"):
     """ONE fused XLA program for the entire factorization.
 
     The reference's recursive compute (hodlr.h:75-103) maps to dozens of
@@ -237,12 +334,25 @@ def _compute_all_fn(node, levels, leaf_size, ranks):
     jitted program collapses that to one dispatch; the scalar diagnostics
     (logdet, saturation flag) come back in one 2-element stats array so the
     host synchronizes exactly once.
+
+    ``pivot_mode``:
+
+      * ``"adaptive"`` (default) — partial-pivot ACA, tolerance-driven;
+      * ``"record"`` — adaptive, but the returned tuple gains a trailing
+        ``pivots`` pytree (per level: rows, cols, counts per node);
+      * ``"fixed"`` — ``compute`` takes that ``pivots`` pytree as a
+        trailing argument and REPLAYS it (:func:`_aca_fixed_fn`): the
+        factorization becomes a smooth deterministic function of theta,
+        which the sampler path requires (see ``_aca_fixed_fn``).
     """
     leaf_factor = _leaf_factor_fn(node)
-    aca_fns = [_aca_fn(node, r) for r in ranks]
+    if pivot_mode == "fixed":
+        aca_fns = [_aca_fixed_fn(node, r) for r in ranks]
+    else:
+        aca_fns = [_aca_fn(node, r) for r in ranks]
 
-    @jax.jit
-    def compute(theta, x_pad, diag_pad, valid, tol):
+    @_f32jit
+    def compute(theta, x_pad, diag_pad, valid, tol, pivots=None):
         n_pad, d = x_pad.shape
         n_leaf = 1 << levels
 
@@ -253,15 +363,25 @@ def _compute_all_fn(node, levels, leaf_size, ranks):
 
         # Off-diagonal factors per level (deepest blocks are smallest).
         U0s, V0s, Uts, Vts = [], [], [], []
+        out_pivots = []
         saturated = jnp.zeros((), bool)
         for q in range(levels):
             m = n_pad >> (q + 1)
             shaped = x_pad.reshape(1 << q, 2, m, d)
             vq = valid.reshape(1 << q, 2, m)
-            U, V, sat = aca_fns[q](
-                theta, shaped[:, 0], shaped[:, 1], vq[:, 0], vq[:, 1], tol
-            )
-            saturated = saturated | jnp.any(sat)
+            if pivot_mode == "fixed":
+                rows, cols, pmag, nk = pivots[q]
+                U, V = aca_fns[q](
+                    theta, shaped[:, 0], shaped[:, 1], vq[:, 0], vq[:, 1],
+                    rows, cols, pmag, nk,
+                )
+            else:
+                U, V, sat, rows, cols, pmag, nk = aca_fns[q](
+                    theta, shaped[:, 0], shaped[:, 1], vq[:, 0], vq[:, 1],
+                    tol,
+                )
+                saturated = saturated | jnp.any(sat)
+                out_pivots.append((rows, cols, pmag, nk))
             U0s.append(U)
             V0s.append(V)
             # The transform sweep below applies the leaf inverse and the
@@ -302,7 +422,10 @@ def _compute_all_fn(node, levels, leaf_size, ranks):
         stats = jnp.stack(
             [logdet, saturated.astype(logdet.dtype)]
         )
-        return leaf_chol, U0s, V0s, Uts, Vts, S_lus, stats
+        base = (leaf_chol, U0s, V0s, Uts, Vts, S_lus, stats)
+        if pivot_mode == "record":
+            return base + (tuple(out_pivots),)
+        return base
 
     return compute
 
@@ -419,7 +542,7 @@ def hodlr_grad_fn(node, levels, leaf_size, ranks, n_theta, n_wn_dirs,
         ll = -0.5 * (stats[0] + jnp.sum(r_pad * alpha))
         return ll, alpha
 
-    @jax.jit
+    @_f32jit
     def core(theta, wn_dirs, wn_vec, x_pad, r_pad, yerr2_pad, valid, tol):
         def f(th, wv):
             return nll_half(th, wv, x_pad, r_pad, yerr2_pad, valid, tol)
@@ -503,7 +626,7 @@ def hodlr_grad_core(node, fact, theta, wn_vec, x_sorted, r_sorted,
     return g_theta, g_wn_proj, alpha[:n]
 
 
-@jax.jit
+@_f32jit
 def _solve_all(leaf_chol, U0s, V0s, Uts, Vts, S_lus, z):
     """One fused program: blockdiag(leaf)^-1 then every level's F_q^{-1}."""
     z = _leaf_solve(leaf_chol, z)
@@ -532,7 +655,7 @@ def hodlr_solve(fact, y):
     return z[:, 0] if single else z
 
 
-@jax.jit
+@_f32jit
 def _dot_solve_all(leaf_chol, U0s, V0s, Uts, Vts, S_lus, z, n):
     """y^T K^-1 y fused with the solve — only a scalar leaves the device."""
     valid = jnp.arange(z.shape[0]) < n

@@ -259,6 +259,9 @@ def _invert_diag_blocks(blocks):
 # catastrophically past 128 rows (147 MB of spill slots at N=256), while
 # <= 128-row chunks stay register-clean at every supported N.
 _CHUNK = 128
+# Height of the column-arithmetic top tile in the in-place Cholesky (see
+# _cholesky_in_place).
+_CHOL_TOP = int(os.environ.get("GT_PD_CHOLTOP", "128"))
 
 
 def _cholesky_in_place(M, n):
@@ -272,11 +275,16 @@ def _cholesky_in_place(M, n):
     valid entries never read them — and are zeroed by the caller.
     """
     nb = n // _T
-    logdet = jnp.zeros((1, _LANES), jnp.float32)
+    logdet = jnp.zeros((1, M.shape[-1]), jnp.float32)
 
     for jb in range(nb):
         j0 = jb * _T
-        h_top = min(n - j0, _CHUNK)
+        # Column arithmetic runs on (h, 1, B) values — 1 sublane wide, so
+        # a full-height top chunk wastes 7/8 of every vector op.  Factor
+        # only the 8x8 diagonal tile column-by-column and push all lower
+        # rows through the full-width Dinv substitution slabs instead
+        # (GT_PD_CHOLTOP=128 restores the round-4 full-height behavior).
+        h_top = min(n - j0, _CHOL_TOP)
         P = M[j0:j0 + h_top, j0:j0 + _T, :]              # (h, 8, B)
         cols = []
         for t in range(_T):
@@ -343,7 +351,7 @@ def _zero_upper(M, n):
         for r0 in range(0, j0, _CHUNK):
             rc = min(_CHUNK, j0 - r0)
             M[r0:r0 + rc, j0:j0 + _T, :] = jnp.zeros(
-                (rc, _T, _LANES), jnp.float32
+                (rc, _T, M.shape[-1]), jnp.float32
             )
         M[j0:j0 + _T, j0:j0 + _T, :] = M[j0:j0 + _T, j0:j0 + _T, :] * low
 

@@ -19,6 +19,7 @@ __all__ = [
     "DualAveragingState", "da_init", "da_update",
     "WelfordState", "welford_init", "welford_update_batch",
     "welford_variance", "build_schedule", "find_reasonable_step_size",
+    "find_reasonable_step_size_batched",
 ]
 
 
@@ -210,4 +211,66 @@ def find_reasonable_step_size(value_and_grad, state, inv_mass, key,
     )
     eps, _ = jax.lax.while_loop(cond, body, carry0)
     # One step back on the way up so the accept prob ends >= target.
+    return jnp.where(going_up, eps * 0.5, eps)
+
+
+def find_reasonable_step_size_batched(value_and_grad, states, inv_mass,
+                                      key, step_size=1.0, target=0.5,
+                                      max_iter=64, axis_name=None):
+    """Batched variant of :func:`find_reasonable_step_size`: probe EVERY
+    chain with one vmapped leapfrog per doubling iteration and decide on
+    the batch-mean one-step accept probability.
+
+    The single-chain probe pays a latency-bound scalar likelihood per
+    iteration (on the headline bench the scalar scan-filter path: ~13 s
+    of the warmup fixed cost, BENCH_NOTES.md round 4); here each
+    iteration is ONE batched value+gradient — the fused Pallas kernel
+    when the log-prob carries one (6.5 ms at 16384 chains) — and the
+    decision statistic pools the whole batch (and the device mesh when
+    ``axis_name`` is given), so the chosen step reflects the actual
+    initial ensemble rather than chain 0's luck.
+    """
+    from .hmc import kinetic_energy, sample_momentum, leapfrog_one
+
+    r0 = sample_momentum(key, inv_mass, states.z.shape, states.z.dtype)
+    energy0 = -states.logp + kinetic_energy(r0, inv_mass)
+
+    def mean_accept_logprob(eps):
+        _, r1, logp1, _ = jax.vmap(
+            lambda z, r, g: leapfrog_one(
+                value_and_grad, z, r, g, eps, inv_mass
+            )
+        )(states.z, r0, states.grad)
+        energy1 = -logp1 + kinetic_energy(r1, inv_mass)
+        delta = energy0 - energy1
+        accept = jnp.where(
+            jnp.isnan(delta), 0.0, jnp.exp(jnp.minimum(delta, 0.0))
+        )
+        a = jnp.mean(accept)
+        if axis_name is not None:
+            a = jax.lax.pmean(a, axis_name)
+        return jnp.log(a)
+
+    dtype = states.z.dtype
+    log_target = jnp.log(jnp.asarray(target, dtype))
+    eps0 = jnp.asarray(step_size, dtype)
+    going_up = mean_accept_logprob(eps0) > log_target
+
+    def cond(carry):
+        eps, i = carry
+        a = mean_accept_logprob(eps)
+        keep = jnp.where(going_up, a > log_target, a < log_target)
+        return (i < max_iter) & keep
+
+    def body(carry):
+        eps, i = carry
+        factor = jnp.where(going_up, 2.0, 0.5)
+        return eps * factor, i + 1
+
+    from .._vma import pvary_like
+
+    carry0 = pvary_like(
+        (eps0, jnp.zeros((), jnp.int32)), states, key, inv_mass
+    )
+    eps, _ = jax.lax.while_loop(cond, body, carry0)
     return jnp.where(going_up, eps * 0.5, eps)

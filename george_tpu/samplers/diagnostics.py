@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import jax.scipy.stats as jstats
 
 __all__ = ["split_rhat", "effective_sample_size", "rank_normalize",
+           "trajectory_health",
            "rank_normalized_rhat", "tail_ess", "summary"]
 
 
@@ -111,6 +112,68 @@ def tail_ess(samples):
     ess05 = effective_sample_size((x <= q05).astype(x.dtype))
     ess95 = effective_sample_size((x <= q95).astype(x.dtype))
     return jnp.minimum(ess05, ess95)
+
+
+def trajectory_health(n_leapfrog, reference=None, expected_mean=None,
+                      mean_rtol=0.25, sig_atol=0.25):
+    """Screen a NUTS run's trajectory lengths for the truncation signature
+    of the round-4 TPU 16384-chain miscompile.
+
+    The recorded bug (BENCH_NOTES.md round 4;
+    ``benchmarks/repro_16384_miscompile.py``): the compiled
+    trajectory-persistent loop reads a corrupted U-turn vote at subtree
+    merges, so trajectories truncate to *complete-subtree* lengths — on
+    the headline posterior (natural mean 9.2 leapfrogs) 46% of draws
+    ended at exactly 3 and 34% at exactly 7.
+
+    A {3, 7} pileup is NOT an absolute signature — easy low-dimensional
+    posteriors legitimately U-turn at 3 leapfrogs — so health is judged
+    against an anchor for the *same posterior and step size*:
+
+    :param n_leapfrog: per-draw leapfrog counts (any shape; typically
+        ``MCMCResult.n_leapfrog``).
+    :param reference: leapfrog counts from a trusted run of the same
+        configuration (e.g. the per-draw ``persistent=False`` path, a
+        CPU run, or a chain count known healthy).  Healthy iff the mean
+        lengths agree within ``mean_rtol`` (relative) and the combined
+        {3, 7} mass agrees within ``sig_atol`` (absolute).
+    :param expected_mean: alternatively, the posterior's known healthy
+        mean trajectory length; healthy iff the measured mean is within
+        ``mean_rtol`` of it.  (At the recorded bug the headline
+        posterior's mean dropped 9.2 -> ~4: a >50% shift.)
+    :returns: dict with ``healthy`` (bool; None when no anchor was
+        given), ``frac_3``, ``frac_7``, ``frac_truncation_signature``
+        (their sum), ``mean_leapfrog``, and the anchor values used.
+    """
+    import numpy as np
+
+    def stats(a):
+        a = np.asarray(a).ravel()
+        return (float(np.mean(a == 3) + np.mean(a == 7)),
+                float(np.mean(a)))
+
+    sig, mean = stats(n_leapfrog)
+    n = np.asarray(n_leapfrog).ravel()
+    out = {
+        "frac_3": float(np.mean(n == 3)),
+        "frac_7": float(np.mean(n == 7)),
+        "frac_truncation_signature": sig,
+        "mean_leapfrog": mean,
+    }
+    healthy = None
+    if reference is not None:
+        ref_sig, ref_mean = stats(reference)
+        out["reference_mean_leapfrog"] = ref_mean
+        out["reference_frac_truncation_signature"] = ref_sig
+        healthy = (abs(mean - ref_mean) <= mean_rtol * max(ref_mean, 1.0)
+                   and abs(sig - ref_sig) <= sig_atol)
+    if expected_mean is not None:
+        out["expected_mean_leapfrog"] = float(expected_mean)
+        ok = abs(mean - expected_mean) <= mean_rtol * max(expected_mean,
+                                                          1.0)
+        healthy = ok if healthy is None else (healthy and ok)
+    out["healthy"] = healthy
+    return out
 
 
 def summary(samples, rank_normalized=False):

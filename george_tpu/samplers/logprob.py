@@ -69,7 +69,8 @@ def _bounds_arrays(gp):
     return lo, hi
 
 
-def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None, method="auto"):
+def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None, method="auto",
+                      method_options=None):
     """Compile a GP hyperparameter posterior into a pure function.
 
     :param gp: a :class:`george_tpu.GP` (its *current* frozen parameters are
@@ -86,9 +87,18 @@ def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None, method="auto"):
           Kalman likelihood via the parallel (associative-scan) or
           sequential filter; 1-D Markovian kernels only
           (:mod:`george_tpu.ops.state_space`);
+        * ``"hodlr"``: O(N log^2 N) hierarchical low-rank likelihood —
+          the large-N engine for kernels with NO state-space form
+          (multi-dimensional inputs, ExpSquared, ...), approximate to the
+          solver's ``tol``; gradients via forward-mode sweeps through the
+          level-batched factorization.  ``method_options`` accepts
+          ``min_size``/``tol``/``max_rank`` (the
+          :class:`~george_tpu.solvers.HODLRSolver` constructor knobs) and
+          ``rank_margin`` (see :func:`_build_hodlr_log_prob`);
         * ``"auto"`` (default): state-space when the kernel admits it,
-          dense otherwise.  Both compute the same marginal likelihood (to
-          fp accuracy), so this is purely a performance decision.
+          dense otherwise.  The exact methods compute the same marginal
+          likelihood (to fp accuracy), so this is purely a performance
+          decision; ``"hodlr"`` is opt-in because it is approximate.
 
     Returns ``(log_prob, theta0)`` where ``log_prob(theta_active) -> scalar``
     is jit/vmap/grad-safe and ``theta0`` is the current active vector.
@@ -100,6 +110,12 @@ def build_gp_log_prob(gp, x, y, yerr=0.0, log_prior=None, method="auto"):
     )
 
     node = gp.kernel.spec_node()
+
+    if method == "hodlr":
+        return _build_hodlr_log_prob(
+            gp, node, x_host, y_host, yerr2, log_prior,
+            dict(method_options or {}),
+        )
 
     if method in ("auto", "state_space", "state_space_sequential",
                   "state_space_parallel"):
@@ -306,11 +322,20 @@ def _attach_pallas_vg(log_prob, gp, node, t_host, y_sorted, yerr2_sorted,
     )
 
 
-def _finish_batched_vg(vg_core, theta_full0, unfrozen, lo, hi, log_prior):
+def _finish_batched_vg(vg_core, theta_full0, unfrozen, lo, hi, log_prior,
+                       compute_dtype=jnp.float32):
     """Wrap a fused ``(theta_full (B, D)) -> (ll, grad_active)`` kernel with
     the bounds prior, NaN->(-inf, 0) guards, and the optional extra prior —
-    the exact semantics of ``vmap(value_and_grad(log_prob))``."""
-    theta_full_f32 = jnp.asarray(theta_full0, jnp.float32)
+    the exact semantics of ``vmap(value_and_grad(log_prob))``.
+
+    ``compute_dtype`` is f32 for the Pallas engines (their native
+    precision); pass ``None`` to keep ``theta_full0``'s dtype (the HODLR
+    engine, which runs at whatever precision the session enables).
+    """
+    if compute_dtype is None:
+        theta_full_f32 = jnp.asarray(theta_full0)
+    else:
+        theta_full_f32 = jnp.asarray(theta_full0, compute_dtype)
     lo_d = jnp.asarray(lo)
     hi_d = jnp.asarray(hi)
     unfrozen_d = jnp.asarray(np.asarray(unfrozen))
@@ -320,7 +345,7 @@ def _finish_batched_vg(vg_core, theta_full0, unfrozen, lo, hi, log_prior):
         B = thetas_active.shape[0]
         theta = jnp.broadcast_to(
             theta_full_f32, (B, theta_full_f32.shape[0])
-        ).at[:, unfrozen_d].set(thetas_active.astype(jnp.float32))
+        ).at[:, unfrozen_d].set(thetas_active.astype(theta_full_f32.dtype))
         ll, grad = vg_core(theta)
         in_bounds = jnp.all(
             (theta >= lo_d) & (theta <= hi_d), axis=1
@@ -451,3 +476,198 @@ def _attach_pallas_dense_vg(log_prob, gp, node, x_host, y_host, yerr2,
         vg_core, theta_full0, unfrozen, lo, hi, log_prior
     )
     log_prob.engine = engine
+
+
+def _build_hodlr_log_prob(gp, node, x_host, y_host, yerr2, log_prior,
+                          opts):
+    """O(N log^2 N) HODLR posterior density for the sampler layer.
+
+    The reference's whole answer to large-N inference is the HODLR
+    factorization driven by an *external* emcee loop
+    (/root/reference/src/george/include/george/hodlr.h:75-120,
+    docs/tutorials/hyper.rst:236-246).  Here the same hierarchical
+    compression compiles INTO the posterior density: the level-batched
+    factorization (ops/hodlr_core.py) runs as one XLA program per chain
+    under ``vmap``, and the gradient runs one forward-mode (jvp) sweep
+    per active parameter alongside the primal — never materializing an
+    N x N matrix, unlike the reference's dense ``get_inverse`` gradient
+    (gp.py:406-468).
+
+    The traced factorization needs static shapes, so the per-block ranks
+    are pinned host-side: one rank-adaptive factorization at the GP's
+    current parameters (``hodlr_compute``, with its escalation-on-
+    saturation loop) fixes the tree plan, then every per-block rank is
+    multiplied by ``opts["rank_margin"]`` (default 2, capped at the
+    block size) so the compression stays inside tolerance as the sampler
+    moves the hyperparameters.  The ACA pivot sequences are ALSO pinned
+    (``fixed_pivots=True``, default): replaying recorded pivots makes
+    the traced density a smooth deterministic function of theta — the
+    adaptive argmax rule's pivot flips put O(1)-nat jumps on the f32
+    surface (see :func:`~george_tpu.ops.hodlr_core._aca_fixed_fn`).
+    ``min_size``/``tol``/``max_rank`` pass through to the factorization;
+    the internal KD ordering matches
+    :class:`~george_tpu.solvers.HODLRSolver`.
+
+    Likelihoods are approximate to ``tol`` (like the reference's HODLR
+    path); use modest chain counts — each chain carries an
+    O(N rank log N) factorization footprint.
+    """
+    from ..ops import hodlr_core
+    from ..solvers.hodlr import HODLRSolver
+
+    min_size = int(opts.pop("min_size", 100))
+    tol = float(opts.pop("tol", 0.1))
+    max_rank = opts.pop("max_rank", None)
+    rank_margin = float(opts.pop("rank_margin", 2.0))
+    order = opts.pop("order", "auto")
+    fixed_pivots = bool(opts.pop("fixed_pivots", True))
+    if opts:
+        raise TypeError(
+            "unknown hodlr method_options: {0}".format(sorted(opts))
+        )
+
+    # Internal compression ordering (KD median splits by default), exactly
+    # as the stateful solver does it.  The marginal likelihood is
+    # permutation-invariant, so no un-permutation is needed.
+    solver = HODLRSolver(gp.kernel, min_size=min_size, tol=tol,
+                         max_rank=max_rank, order=order)
+    perm = solver._ordering(x_host)
+    if perm is not None:
+        x_sorted = x_host[perm]
+        y_sorted = y_host[perm]
+        yerr2_sorted = yerr2[perm]
+    else:
+        x_sorted, y_sorted, yerr2_sorted = x_host, y_host, yerr2
+
+    mean_fn = traceable_model_fn(gp.mean, x_sorted)
+    wn_fn = traceable_model_fn(gp.white_noise, x_sorted)
+
+    n_mean = gp.mean.full_size
+    n_wn = gp.white_noise.full_size
+    theta_full0 = jnp.asarray(gp.get_parameter_vector(include_frozen=True))
+    unfrozen = np.flatnonzero(gp.unfrozen_mask)
+    lo, hi = _bounds_arrays(gp)
+
+    # Pin the tree plan and per-block ranks at the current parameters
+    # (host-side, rank-adaptive), then widen by the safety margin.
+    theta_k0 = np.asarray(
+        gp.kernel.get_parameter_vector(include_frozen=True)
+    )
+    wn0 = np.broadcast_to(
+        np.exp(gp.white_noise.get_value(x_sorted)), (len(x_sorted),)
+    )
+    fact0 = hodlr_core.hodlr_compute(
+        node, theta_k0, x_sorted, yerr2_sorted + wn0,
+        min_size=min_size, tol=tol, max_rank=max_rank,
+    )
+    levels, leaf_size, n_pad = fact0.levels, fact0.leaf_size, fact0.n_pad
+    full = tuple(n_pad >> (q + 1) for q in range(levels))
+    ranks = tuple(
+        min(full[q], int(np.ceil(rank_margin * fact0.level_U0[q].shape[-1])))
+        for q in range(levels)
+    )
+
+    n = len(x_sorted)
+    pad = n_pad - n
+    d = x_sorted.shape[1]
+    x_pad = jnp.asarray(np.concatenate(
+        [x_sorted, np.broadcast_to(x_sorted[-1:], (pad, d))]
+    ))
+    x_dev = jnp.asarray(x_sorted)
+    y_dev = jnp.asarray(y_sorted)
+    yerr2_dev = jnp.asarray(yerr2_sorted)
+    valid = jnp.arange(n_pad) < n
+    norm_const = 0.5 * n * np.log(2.0 * np.pi)
+    tol_dev = jnp.asarray(tol, x_pad.dtype)
+    pad_zeros = jnp.zeros(pad, x_pad.dtype)
+    pad_ones = jnp.ones(pad, x_pad.dtype)
+
+    pivots = None
+    if fixed_pivots:
+        # Record the adaptive pivot sequences ONCE at the build
+        # parameters (at a 100x tighter tolerance so margin columns
+        # carry real pivots), then REPLAY them inside the traced
+        # density: with data-dependent argmax pivoting, the f32
+        # likelihood jumps O(1) nats between nearby thetas as pivot
+        # choices flip (measured on chip at N=2048), which stalls MCMC
+        # acceptance outright.  Replayed pivots make ll_core a smooth
+        # deterministic function of theta (CUR-style approximation at
+        # fixed index sets); quality degrades only slowly as theta
+        # drifts from the build point — rank_margin covers the drift.
+        record = hodlr_core._compute_all_fn(
+            node, levels, leaf_size, ranks, pivot_mode="record"
+        )
+        diag0 = np.concatenate([
+            yerr2_sorted + wn0, np.ones(pad, np.float64)
+        ])
+        outs = record(
+            jnp.asarray(theta_k0, x_pad.dtype), x_pad,
+            jnp.asarray(diag0, x_pad.dtype), valid,
+            jnp.asarray(tol * 1e-2, x_pad.dtype),
+        )
+        pivots = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)), outs[-1]
+        )
+    compute = hodlr_core._compute_all_fn(
+        node, levels, leaf_size, ranks,
+        pivot_mode="fixed" if fixed_pivots else "adaptive",
+    )
+
+    def ll_core(theta):
+        th_mean = theta[:n_mean]
+        th_wn = theta[n_mean:n_mean + n_wn]
+        th_kernel = theta[n_mean + n_wn:]
+
+        r = y_dev - mean_fn(th_mean, x_dev)
+        diag = yerr2_dev + jnp.exp(wn_fn(th_wn, x_dev))
+        r_pad = jnp.concatenate([r, pad_zeros])
+        diag_pad = jnp.concatenate([diag, pad_ones])
+        leaf_chol, U0s, V0s, Uts, Vts, S_lus, stats = compute(
+            th_kernel.astype(x_pad.dtype), x_pad, diag_pad, valid,
+            tol_dev, *(() if pivots is None else (pivots,))
+        )
+        alpha = hodlr_core._solve_all(
+            leaf_chol, U0s, V0s, Uts, Vts, S_lus, r_pad[:, None]
+        )[:, 0]
+        return -norm_const - 0.5 * (stats[0] + jnp.sum(r_pad * alpha))
+
+    lo_dev = jnp.asarray(lo)
+    hi_dev = jnp.asarray(hi)
+    unfrozen_dev = jnp.asarray(unfrozen)
+
+    def log_prob(theta_active):
+        theta = theta_full0.at[unfrozen_dev].set(theta_active)
+        in_bounds = jnp.all((theta >= lo_dev) & (theta <= hi_dev))
+        ll = ll_core(theta)
+        lp = jnp.where(in_bounds, ll, -jnp.inf)
+        if log_prior is not None:
+            lp = lp + log_prior(theta_active)
+        return jnp.where(lp < jnp.inf, lp, -jnp.inf)
+
+    # Batched value+gradient: forward mode, one jvp direction per active
+    # parameter (the P primal legs CSE away under jit — the same pattern
+    # as hodlr_grad_fn).  This is what NUTS/HMC/ChEES actually execute
+    # via the custom_vmap seam; reverse mode through the rank-length ACA
+    # loop would checkpoint its U/V carries (~18 GB at N=50k,
+    # BENCH_NOTES.md "HODLR") and is never traced on the sampler path.
+    active = [int(i) for i in unfrozen]
+    eye = np.eye(theta_full0.shape[0])
+
+    def vg_one(theta_full):
+        outs = [
+            jax.jvp(ll_core, (theta_full,),
+                    (jnp.asarray(eye[i], theta_full.dtype),))
+            for i in active
+        ]
+        if not outs:
+            return ll_core(theta_full), jnp.zeros((0,), theta_full.dtype)
+        return outs[0][0], jnp.stack([t for (_, t) in outs])
+
+    log_prob.batched_value_and_grad = _finish_batched_vg(
+        jax.vmap(vg_one), theta_full0, unfrozen, lo, hi, log_prior,
+        compute_dtype=None,
+    )
+    log_prob.engine = "hodlr"
+
+    theta0 = jnp.asarray(gp.get_parameter_vector())
+    return log_prob, theta0

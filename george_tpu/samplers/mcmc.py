@@ -229,13 +229,14 @@ def _build_pieces(log_prob, num_chains, dim, dtype, num_warmup,
         return HMCState(z, logp, grad)
 
     def init_step_size(states, inv_mass, key):
-        state0 = jax.tree_util.tree_map(lambda s: s[0], states)
-        eps = adapt.find_reasonable_step_size(vg, state0, inv_mass, key)
-        if axis_name is not None:
-            # Each device probed its own first chain; agree on one step so
-            # sharded chains keep a single pooled dual-averaging state.
-            eps = jax.lax.pmean(eps, axis_name)
-        return eps
+        # Batch-mean probe over every chain: one fused value+gradient per
+        # doubling iteration instead of a latency-bound scalar likelihood
+        # (which cost ~13 s of the headline bench's warmup fixed cost).
+        # With axis_name the accept statistic pools across devices, so
+        # the result is already device-invariant.
+        return adapt.find_reasonable_step_size_batched(
+            vg, states, inv_mass, key, axis_name=axis_name
+        )
 
     def warm_step(carry, inputs):
         states, da, welford, inv_mass, extra, key = carry
@@ -292,12 +293,16 @@ def _build_chees_pieces(vg, num_chains, dim, dtype, num_warmup,
         logp, grad = vg(z)
         return HMCState(z, logp, grad)
 
+    # ChEES passes the fused batched kernel into chees_step directly, so
+    # `vg` here is the bare scalar fn; give the batched step-size probe
+    # the same custom_vmap seam the NUTS/HMC path gets.
+    vg_search = (_fuse_batched_vg(vg, batched_vg)
+                 if batched_vg is not None else vg)
+
     def init_step_size(states, inv_mass, key):
-        state0 = jax.tree_util.tree_map(lambda s: s[0], states)
-        eps = adapt.find_reasonable_step_size(vg, state0, inv_mass, key)
-        if axis_name is not None:
-            eps = jax.lax.pmean(eps, axis_name)
-        return eps
+        return adapt.find_reasonable_step_size_batched(
+            vg_search, states, inv_mass, key, axis_name=axis_name
+        )
 
     def warm_step(carry, inputs):
         states, da, welford, inv_mass, traj, key = carry

@@ -161,6 +161,42 @@ def test_blocked_execution_matches_fused():
     assert np.allclose(float(r1.step_size), float(r2.step_size))
 
 
+def test_per_draw_matches_persistent_posterior():
+    # ``persistent=False`` (one lockstep transition per draw) is the
+    # documented fallback if the 16384-chain TPU miscompile
+    # (BENCH_NOTES.md round 4; benchmarks/repro_16384_miscompile.py) ever
+    # moves to smaller batch sizes — keep the path exercised end-to-end:
+    # identical warmup, and sampling-phase posteriors that agree within
+    # MC error (different RNG consumption, same invariant distribution).
+    key = jax.random.PRNGKey(21)
+    z0 = jax.random.normal(key, (64, 2))
+    kwargs = dict(num_warmup=300, num_samples=400)
+    res_p = run_mcmc(gaussian_log_prob, z0, key, persistent=True, **kwargs)
+    res_d = run_mcmc(gaussian_log_prob, z0, key, persistent=False, **kwargs)
+    # Warmup is shared code: the adapted step size must match exactly.
+    assert np.allclose(float(res_p.step_size), float(res_d.step_size))
+    sp = summary(res_p.samples)
+    sd = summary(res_d.samples)
+    for s in (sp, sd):
+        assert np.all(np.abs(np.asarray(s["mean"]) - MU) < 0.08)
+        assert np.all(
+            np.abs(np.asarray(s["std"]) - np.sqrt(np.diag(A))) < 0.12
+        )
+    assert np.all(
+        np.abs(np.asarray(sp["mean"]) - np.asarray(sd["mean"])) < 0.1
+    )
+    assert np.all(
+        np.abs(np.asarray(sp["std"]) - np.asarray(sd["std"])) < 0.12
+    )
+    # The persistent loop's trajectory-length distribution must match the
+    # per-draw path's (the miscompile's signature was a drastic shift —
+    # complete-subtree truncation; see trajectory_health()).
+    from george_tpu.samplers.diagnostics import trajectory_health
+
+    h = trajectory_health(res_p.n_leapfrog, reference=res_d.n_leapfrog)
+    assert h["healthy"], h
+
+
 def test_progress_callback():
     events = []
     key = jax.random.PRNGKey(10)
@@ -380,3 +416,79 @@ def test_rank_normalized_rhat_catches_stuck_chain():
     x[0] = x[0] * 0.01 + 5.0          # one chain stuck elsewhere
     rhat = float(np.asarray(rank_normalized_rhat(jnp.asarray(x)))[0])
     assert rhat > 1.2
+
+
+def test_hodlr_log_prob_matches_dense(seed=0, N=600):
+    # The sampler layer's large-N non-Markovian engine: the HODLR
+    # posterior density (method="hodlr") must match the dense engine in
+    # value and gradient at tight tolerance (reference analog: hodlr.h
+    # likelihoods feeding an external emcee loop, hyper.rst:236-246).
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 10, N))
+    yerr = 0.3 * np.ones(N)
+    y = np.sin(x / 2.0) + yerr * rng.standard_normal(N)
+    gp = george.GP(1.0 * kernels.ExpSquaredKernel(1.5),
+                   white_noise=np.log(1e-2), fit_white_noise=True,
+                   mean=0.0, fit_mean=True)
+
+    lp_d, theta0 = build_gp_log_prob(gp, x, y, yerr, method="dense")
+    lp_h, _ = build_gp_log_prob(gp, x, y, yerr, method="hodlr",
+                                method_options=dict(tol=1e-6))
+    assert lp_h.engine == "hodlr"
+    assert hasattr(lp_h, "batched_value_and_grad")
+
+    th = jnp.asarray(theta0)
+    vd, gd = jax.value_and_grad(lp_d)(th)
+    # Scalar path and batched forward-mode path both match dense.
+    assert abs(float(lp_h(th)) - float(vd)) < 1e-4
+    B = jnp.stack([th, th + 0.05])
+    llb, gb = lp_h.batched_value_and_grad(B)
+    assert abs(float(llb[0]) - float(vd)) < 1e-4
+    assert float(jnp.max(jnp.abs(gb[0] - gd))) < 1e-3
+    vd2, gd2 = jax.value_and_grad(lp_d)(B[1])
+    assert abs(float(llb[1]) - float(vd2)) < 1e-4
+    assert float(jnp.max(jnp.abs(gb[1] - gd2))) < 1e-3
+    # Out-of-bounds and -inf guard semantics match the dense engine's.
+    far = th + 1e6
+    assert float(lp_h(far)) == -np.inf
+
+
+def test_hodlr_posterior_nuts_end_to_end(seed=3, N=64):
+    # Short end-to-end NUTS over the HODLR engine: the run must complete
+    # with healthy diagnostics (the density/gradient equivalence against
+    # the dense engine is pinned tightly by
+    # test_hodlr_log_prob_matches_dense; a full posterior-equivalence
+    # comparison at sampling scale runs on chip —
+    # benchmarks/hodlr_sampler.py, VERDICT r4 item 5).  A CPU-suite twin
+    # at MC-resolving draw counts measured 486 s — too slow for CI.
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 10, N))
+    yerr = 0.25 * np.ones(N)
+    y = np.sin(x / 2.0) + yerr * rng.standard_normal(N)
+    gp = george.GP(1.0 * kernels.ExpSquaredKernel(1.0),
+                   white_noise=np.log(1e-2), fit_white_noise=True)
+    center = jnp.asarray(gp.get_parameter_vector())
+
+    def log_prior(theta):
+        return -0.5 * jnp.sum(((theta - center) / 2.0) ** 2)
+
+    log_prob, theta0 = build_gp_log_prob(
+        gp, x, y, yerr, log_prior=log_prior, method="hodlr",
+        method_options=dict(tol=1e-4, min_size=16),
+    )
+    assert log_prob.engine == "hodlr"
+    key = jax.random.PRNGKey(0)
+    z0 = jnp.asarray(theta0)[None, :] + 0.1 * jax.random.normal(
+        key, (4, len(theta0))
+    )
+    res = run_mcmc(log_prob, z0, key, num_warmup=60, num_samples=80,
+                   max_depth=4)
+    s = summary(res.samples)
+    assert np.all(np.isfinite(np.asarray(s["mean"])))
+    assert float(res.diverging.mean()) < 0.05
+    # The short-run posterior concentrates near the dense-engine optimum
+    # (generous bands: 4 chains x 80 draws).
+    lp_dense, _ = build_gp_log_prob(gp, x, y, yerr, log_prior=log_prior,
+                                    method="dense")
+    assert float(lp_dense(jnp.asarray(s["mean"]))) > \
+        float(lp_dense(jnp.asarray(theta0))) - 10.0

@@ -290,3 +290,137 @@ def test_f32_conditioning_envelope():
     gp2.set_parameter_vector(v)
     ll_bad = float(gp2.log_likelihood(y, quiet=True))
     assert ll_bad == -np.inf
+
+
+def test_persistent_nuts_canary_8192_16384():
+    # Guards the round-4 TPU miscompile workaround (samplers/mcmc.py
+    # sub-batches >8192-chain persistent NUTS; BENCH_NOTES.md round 4;
+    # reproducer: benchmarks/repro_16384_miscompile.py).  Runs the
+    # SHIPPED path (workaround active) at 8192 and 16384 chains on the
+    # headline posterior with a fixed step size, and asserts:
+    #   * both trajectory-length distributions are healthy (no pileup at
+    #     the 3/7 complete-subtree truncation signature) — if a toolchain
+    #     update moves the bug to 8192, this is what trips;
+    #   * the 16384-chain sub-batch seam returns the same posterior as
+    #     8192 alone within MC error.
+    from george_tpu.samplers import build_gp_log_prob, run_mcmc, summary
+    from george_tpu.samplers.diagnostics import trajectory_health
+
+    rng = np.random.default_rng(42)
+    x = np.sort(rng.uniform(0, 10, 1000))
+    yerr = 0.1 * np.ones_like(x)
+    y = np.sin(x) + yerr * rng.standard_normal(x.shape[0])
+    gp = george.GP(1.0 * kernels.Matern32Kernel(1.0),
+                   white_noise=np.log(1e-4), fit_white_noise=True)
+    center = jnp.asarray(gp.get_parameter_vector())
+
+    def log_prior(theta):
+        return -0.5 * jnp.sum(((theta - center) / 2.0) ** 2)
+
+    log_prob, theta0 = build_gp_log_prob(gp, x, y, yerr,
+                                         log_prior=log_prior)
+
+    key = jax.random.PRNGKey(3)
+    z0 = jnp.asarray(theta0, jnp.float32)[None, :] + 0.1 * \
+        jax.random.normal(key, (16384, theta0.shape[0]), jnp.float32)
+
+    stats = {}
+    leaps = {}
+    for chains in (8192, 16384):
+        res = run_mcmc(
+            log_prob, z0[:chains], jax.random.PRNGKey(chains),
+            num_warmup=0, num_samples=200, max_depth=4,
+            step_size=0.37, adapt_mass=False, block_size=200,
+        )
+        # Absolute anchor: this exact configuration (identity mass,
+        # eps=0.37, no warmup) measures mean 4.12 leapfrogs on CPU
+        # (healthy at every chain count; frac_{3,7} = 0.35/0.17 are its
+        # NATURAL values here — the adapted-mass bench geometry's 9.2 is
+        # not this test's anchor).  The recorded bug halves the mean and
+        # pushes frac_3 alone toward 0.5+; the 25% mean_rtol band
+        # separates the two.  The absolute screen catches the bug even
+        # if it ever afflicts BOTH chain counts at once.
+        h = trajectory_health(res.n_leapfrog, expected_mean=4.12)
+        _report(
+            "persistent NUTS {0}-chain truncation signature".format(chains),
+            h["frac_truncation_signature"],
+        )
+        assert h["healthy"], (chains, h)
+        stats[chains] = summary(res.samples)
+        leaps[chains] = np.asarray(res.n_leapfrog)
+
+    # Relative anchor: 16384 (through the sub-batch seam) must match the
+    # bit-healthy 8192 run's length distribution.
+    h = trajectory_health(leaps[16384], reference=leaps[8192])
+    assert h["healthy"], h
+
+    # The sub-batch seam: identical posterior within MC error.  With
+    # >=8192 chains x 200 draws the MC error of the mean is tiny; 0.02
+    # in units of the posterior std is a loose band.
+    m8, m16 = stats[8192], stats[16384]
+    moment_delta = float(np.max(np.abs(
+        (np.asarray(m8["mean"]) - np.asarray(m16["mean"]))
+        / np.asarray(m8["std"])
+    )))
+    _report("persistent NUTS 16384-vs-8192 posterior mean delta (in sd)",
+            moment_delta)
+    assert moment_delta < 0.05
+    sd_rel = float(np.max(np.abs(
+        np.asarray(m16["std"]) / np.asarray(m8["std"]) - 1.0
+    )))
+    assert sd_rel < 0.05
+
+
+def test_dense_mxu_posterior_fidelity_n256():
+    # VERDICT r4 #4: the MXU engine's f32 envelope (lp delta ~0.15-0.5,
+    # grad 0.3-1.4% rel) is 100-1000x wider than the VPU kernel's; prove
+    # the looseness does NOT shift posterior MOMENTS.  Same config-#5
+    # style posterior (N=256, multi-dim subspace metric) sampled with
+    # ChEES through dense_mxu and through the XLA batched engine;
+    # moments must agree within MC error.  Each leg runs in its own
+    # subprocess (tests_tpu/_fidelity_leg.py): the tunneled worker has
+    # been seen crashing when a second large MCMC program compiles after
+    # a long run in the same process.
+    import json
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    moments = {}
+    for mode in ("auto", "never"):
+        for attempt in range(3):
+            proc = subprocess.run(
+                [sys.executable, os.path.join(here, "_fidelity_leg.py"),
+                 mode],
+                capture_output=True, text=True, timeout=2400,
+            )
+            if proc.returncode == 0:
+                break
+            # The tunneled worker crashes sporadically (UNAVAILABLE) on
+            # large MCMC programs; that is environment, not engine —
+            # retry.  Real failures repeat.
+            if "UNAVAILABLE" not in proc.stderr:
+                break
+            import time
+
+            time.sleep(30)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        out = json.loads(proc.stdout.strip().split("\n")[-1])
+        moments[out["engine"]] = out
+
+    assert set(moments) == {"dense_mxu", "xla_dense"}, set(moments)
+    mx, xl = moments["dense_mxu"], moments["xla_dense"]
+    mean_delta = float(np.max(np.abs(
+        (np.asarray(mx["mean"]) - np.asarray(xl["mean"]))
+        / np.asarray(xl["std"])
+    )))
+    std_rel = float(np.max(np.abs(
+        np.asarray(mx["std"]) / np.asarray(xl["std"]) - 1.0
+    )))
+    _report("dense_mxu N=256 posterior mean delta (in sd)", mean_delta)
+    _report("dense_mxu N=256 posterior std rel delta", std_rel)
+    # 2048 chains x 300 draws per engine: MC error of the mean is well
+    # under 0.05 sd on this posterior (ESS/draw ~0.5, BENCH_NOTES).
+    assert mean_delta < 0.1, (mx["mean"], xl["mean"])
+    assert std_rel < 0.1, (mx["std"], xl["std"])
