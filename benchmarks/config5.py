@@ -45,6 +45,10 @@ def main():
     from george_tpu.samplers.diagnostics import effective_sample_size
 
     config.pallas_dense = args.pallas
+    # Benchmarks opt in to the MXU hybrid above the VPU envelope (the
+    # sampler router keeps it off by default — round-5 moment-fidelity
+    # finding, BENCH_NOTES).
+    config.dense_mxu_sampling = True
 
     rng = np.random.default_rng(7)
     x = rng.uniform(-3, 8, (args.n, 3))

@@ -36,6 +36,17 @@ pallas_dense = "auto"
 # in its unrolled N <= 128 regime); benchmarks set 0 to force the MXU path.
 dense_mxu_min_n = 129
 
+# Whether the SAMPLER router may attach the MXU hybrid at all.  Round-5
+# on-chip finding (tests_tpu fidelity test + a CPU x64 oracle): ChEES
+# posterior moments through dense_mxu at N=256 shifted ~0.8 sd on a
+# metric parameter with 30-40% narrowed stds vs the XLA engine — the
+# engine's f32 envelope is fast but not yet moment-faithful, so it is
+# OPT-IN for sampling (True routes N >= dense_mxu_min_n dense posteriors
+# through ops/dense_mxu.py; by default the tightly-validated VPU kernel
+# covers its whole envelope — N <= 256, metric types 0/1 — and anything
+# beyond falls back to the XLA engine).
+dense_mxu_sampling = False
+
 # Emit a one-line warning (logging.getLogger("george_tpu")) when a sampler
 # posterior falls OUT of a fused-kernel envelope and silently lands on the
 # slower XLA path (e.g. dense N > 512 — the MXU engine covers every metric

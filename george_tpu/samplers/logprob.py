@@ -434,9 +434,22 @@ def _attach_pallas_dense_vg(log_prob, gp, node, x_host, y_host, yerr2,
         return
     n = len(x_host)
     min_mxu = getattr(config, "dense_mxu_min_n", 129)
-    use_vpu = n < min_mxu and pdz.supports_pallas_dense(node, n)
-    if not use_vpu and not pdm.supports_dense_mxu(node, n):
-        _engine_note("N={0} > {1}".format(n, pdm.MXU_MAX_N))
+    # The MXU hybrid is opt-in for sampling: its posterior moments at
+    # N=256 measured ~0.85 sd off the XLA engine and a CPU x64 oracle
+    # (tests_tpu fidelity test; BENCH_NOTES round 5).  Default routing:
+    # the tightly-validated VPU kernel over its WHOLE envelope
+    # (N <= 256, metric types 0/1; lp delta ~1e-3 on chip), XLA beyond;
+    # opting in restores MXU for N >= dense_mxu_min_n.
+    mxu_ok = getattr(config, "dense_mxu_sampling", False) \
+        and pdm.supports_dense_mxu(node, n)
+    use_vpu = pdz.supports_pallas_dense(node, n) \
+        and (n < min_mxu or not mxu_ok)
+    if not use_vpu and not mxu_ok:
+        _engine_note(
+            "N={0} is outside the VPU kernel envelope and "
+            "config.dense_mxu_sampling is off (the MXU engine's "
+            "posterior-moment envelope is still open)".format(n)
+        )
         return
 
     n_mean, y_eff = _scalar_or_baked(

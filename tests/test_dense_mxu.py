@@ -20,9 +20,14 @@ from george_tpu.samplers import build_gp_log_prob
 @pytest.fixture
 def pallas_dense_always():
     old = config.pallas_dense
+    old_mxu = config.dense_mxu_sampling
     config.pallas_dense = "always"
+    # The MXU engine is opt-in on the sampler router (round-5 moment-
+    # fidelity finding); these tests target the engine itself.
+    config.dense_mxu_sampling = True
     yield
     config.pallas_dense = old
+    config.dense_mxu_sampling = old_mxu
 
 
 def _dataset(n, d=3, seed=0):
@@ -131,8 +136,8 @@ def test_mxu_vg_bounds_prior_and_nonpd(pallas_dense_always):
 
 
 def test_routing_thresholds(pallas_dense_always):
-    # <=128 + metric 0/1 -> VPU lanes kernel; 129..512 -> MXU hybrid;
-    # > 512 -> XLA fallback.
+    # With dense_mxu_sampling opted in (the fixture): <=128 + metric 0/1
+    # -> VPU lanes kernel; 129..512 -> MXU hybrid; > 512 -> XLA fallback.
     from george_tpu.ops.dense_mxu import MXU_MAX_N
 
     x, y, yerr = _dataset(40)
@@ -146,3 +151,20 @@ def test_routing_thresholds(pallas_dense_always):
     x, y, yerr = _dataset(MXU_MAX_N + 8)
     lp, _ = build_gp_log_prob(_config5_gp(), x, y, yerr, method="dense")
     assert lp.engine == "xla_dense"
+
+    # DEFAULT routing (dense_mxu_sampling off — the round-5 posterior-
+    # moment finding): the VPU kernel covers its WHOLE envelope
+    # (N <= 256, metric 0/1), XLA beyond it; the MXU hybrid is never
+    # silently attached.
+    config.dense_mxu_sampling = False
+    try:
+        x, y, yerr = _dataset(140)
+        lp, _ = build_gp_log_prob(_config5_gp(), x, y, yerr,
+                                  method="dense")
+        assert lp.engine == "pallas_dense"
+        x, y, yerr = _dataset(300)
+        lp, _ = build_gp_log_prob(_config5_gp(), x, y, yerr,
+                                  method="dense")
+        assert lp.engine == "xla_dense"
+    finally:
+        config.dense_mxu_sampling = True

@@ -28,7 +28,7 @@ def main(mode):
     from george_tpu.samplers import build_gp_log_prob, run_mcmc, summary
 
     rng = np.random.default_rng(7)
-    n, chains = 256, 2048
+    n, chains = 256, 512
     x = rng.uniform(-3, 8, (n, 3))
     yerr = 0.22 * np.ones(n)
     y = np.sin(x[:, 0]) + 0.3 * np.cos(x[:, 2]) \
@@ -45,6 +45,9 @@ def main(mode):
         return -0.5 * jnp.sum(((theta - center) / 2.0) ** 2)
 
     config.pallas_dense = mode
+    # Opt in to the MXU engine explicitly: this test MEASURES its
+    # posterior fidelity (the sampler router keeps it off by default).
+    config.dense_mxu_sampling = True
     log_prob, theta0 = build_gp_log_prob(
         gp, x, y, yerr, log_prior=log_prior, method="dense"
     )
